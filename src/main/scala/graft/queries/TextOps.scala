@@ -1,0 +1,415 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{QuerySpec, Tables}
+
+/** Text-analysis + deduplication surface over the `documents` table.
+  *
+  * Covers the reference's token pipeline shapes (SURVEY §2.5 A6/A7, §2.9
+  * F7–F14: tokenize → clean → explode → frequency-rank) plus the
+  * training-data-pipeline operators the builder prompt adds as first-class:
+  * exact dedup, MinHash+LSH banding, n-gram Jaccard near-dup, SimHash,
+  * language-ID heuristic, quality scoring, token counting, fingerprinting.
+  *
+  * Everything is built from codegen'd builtins + higher-order array functions:
+  * tokenization stays declarative (`split`/`filter`/`transform`), dedup joins
+  * shuffle on content-derived keys (fingerprint / shingle / band bucket) so they
+  * scale horizontally — no driver-side loops anywhere.
+  */
+object TextOps {
+
+  /** Whitespace tokenization of lowercased text; drops empty tokens.
+    * Matches DuckDB `list_filter(regexp_split_to_array(lower(text),'\s+'), ..)`.
+    */
+  private def toks: Column =
+    filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+
+  /** Word 3-gram shingles: one string per consecutive token triple. */
+  private def shingles(tokens: Column): Column =
+    transform(
+      sequence(lit(1), size(tokens) - 2),
+      i => array_join(slice(tokens, i, lit(3)), " "),
+    )
+
+  private def docTokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), toks.as("toks"))
+
+  /** Distinct (doc_id, shingle) pairs — the exploded n-gram set used by both
+    * MinHash and exact Jaccard. Docs with fewer than 3 tokens drop out on both
+    * sides (empty unnest).
+    */
+  private def docShingles(s: SparkSession, d: String): DataFrame =
+    docTokens(s, d)
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(shingles(col("toks"))).as("sh"))
+      .distinct()
+
+  private val shingleSqlCte =
+    """t AS (SELECT doc_id,
+      |            list_filter(regexp_split_to_array(lower(text), '\s+'), tk -> tk <> '') AS toks
+      |     FROM documents),
+      |ds AS (SELECT DISTINCT doc_id,
+      |              unnest(list_transform(range(1, len(toks) - 1),
+      |                                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |       FROM t WHERE len(toks) >= 3)""".stripMargin
+
+  /** A6/F14: global token frequency ranking with deterministic tie-break
+    * (`/root/reference/thisishappening/utils/tweet_utils.py:532-534`;
+    * tie-break per SURVEY §7.4.4). explode → partial-agg → single shuffle on
+    * token.
+    */
+  val qTokenFreq: QuerySpec = QuerySpec(
+    "q30_token_freq",
+    (s, d) =>
+      docTokens(s, d)
+        .select(explode(col("toks")).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(100),
+    Some("""
+      SELECT token, count(*) AS n
+      FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                      tk -> tk <> '')) AS token
+            FROM documents)
+      GROUP BY token
+      ORDER BY n DESC, token
+      LIMIT 100
+    """.stripMargin.trim),
+  )
+
+  /** Quality scoring: per-doc length / punctuation / stopword-ratio metrics
+    * (training-data quality gate; reference analog is the 13-predicate gate's
+    * text legs, `tweet_utils.py:181-311`).
+    */
+  val qDocQuality: QuerySpec = QuerySpec(
+    "q31_doc_quality",
+    (s, d) =>
+      Tables
+        .documents(s, d)
+        .select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_calc"),
+          size(toks).cast("long").as("n_tokens"),
+          (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
+            .cast("long")
+            .as("n_punct"),
+          regexp_count(lower(col("text")), lit("\\b(the|a|and|of|to|in|is)\\b"))
+            .cast("long")
+            .as("n_stop"),
+        )
+        .withColumn("stop_ratio", round(col("n_stop") / nullif(col("n_tokens"), lit(0)), 6))
+        .withColumn(
+          "quality",
+          round(
+            least(col("n_tokens") / lit(50.0), lit(1.0)) *
+              (lit(1.0) - col("n_punct") / nullif(col("n_chars_calc"), lit(0))),
+            6,
+          ),
+        )
+        .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id, n_chars_calc, n_tokens, n_punct, n_stop,
+             round(n_stop * 1.0 / nullif(n_tokens, 0), 6) AS stop_ratio,
+             round(least(n_tokens / 50.0, 1.0) * (1.0 - n_punct * 1.0 / nullif(n_chars_calc, 0)), 6) AS quality
+      FROM (SELECT doc_id,
+                   length(text) AS n_chars_calc,
+                   len(list_filter(regexp_split_to_array(lower(text), '\s+'), tk -> tk <> '')) AS n_tokens,
+                   length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+                   len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is)\b')) AS n_stop
+            FROM documents)
+      ORDER BY doc_id
+    """.stripMargin.trim),
+  )
+
+  /** Language-ID n-gram/stopword heuristic: score text against per-language
+    * marker sets, argmax with deterministic preference order.
+    */
+  val qLangId: QuerySpec = QuerySpec(
+    "q32_lang_id",
+    (s, d) => {
+      val lowered = lower(col("text"))
+      Tables
+        .documents(s, d)
+        .select(
+          col("doc_id"),
+          col("lang"),
+          regexp_count(lowered, lit("\\b(the|and|is|of|to)\\b")).cast("long").as("en_score"),
+          regexp_count(lowered, lit("\\b(el|la|de|que|y)\\b")).cast("long").as("es_score"),
+          regexp_count(lowered, lit("\\b(le|les|et|une|est)\\b")).cast("long").as("fr_score"),
+        )
+        .withColumn(
+          "lang_pred",
+          when(col("en_score") >= col("es_score") && col("en_score") >= col("fr_score"), "en")
+            .when(col("es_score") >= col("fr_score"), "es")
+            .otherwise("fr"),
+        )
+        .withColumn("is_match", col("lang_pred") === col("lang"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id, lang, en_score, es_score, fr_score,
+             CASE WHEN en_score >= es_score AND en_score >= fr_score THEN 'en'
+                  WHEN es_score >= fr_score THEN 'es'
+                  ELSE 'fr' END AS lang_pred,
+             (CASE WHEN en_score >= es_score AND en_score >= fr_score THEN 'en'
+                   WHEN es_score >= fr_score THEN 'es'
+                   ELSE 'fr' END) = lang AS is_match
+      FROM (SELECT doc_id, lang,
+                   len(regexp_extract_all(lower(text), '\b(the|and|is|of|to)\b')) AS en_score,
+                   len(regexp_extract_all(lower(text), '\b(el|la|de|que|y)\b')) AS es_score,
+                   len(regexp_extract_all(lower(text), '\b(le|les|et|une|est)\b')) AS fr_score
+            FROM documents)
+      ORDER BY doc_id
+    """.stripMargin.trim),
+  )
+
+  /** Document fingerprinting: md5 of whitespace-normalized lowercase text —
+    * the exact-dedup key.
+    */
+  val qFingerprint: QuerySpec = QuerySpec(
+    "q33_doc_fingerprint",
+    (s, d) =>
+      Tables
+        .documents(s, d)
+        .select(
+          col("doc_id"),
+          md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")).cast("binary")).as("fp"),
+        )
+        .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      FROM documents
+      ORDER BY doc_id
+    """.stripMargin.trim),
+  )
+
+  /** Exact dedup: hash-groupBy on fingerprint, keep lowest doc_id per group.
+    * One shuffle on the fingerprint; at 100 TB this is the canonical
+    * hash-partitioned dedup with no skew (md5 keys are uniform).
+    */
+  val qDedupExact: QuerySpec = QuerySpec(
+    "q34_dedup_exact",
+    (s, d) => {
+      val fp = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+      Tables
+        .documents(s, d)
+        .select(col("doc_id"), md5(fp.cast("binary")).as("fp"))
+        .withColumn(
+          "rn",
+          row_number().over(Window.partitionBy(col("fp")).orderBy(col("doc_id"))),
+        )
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("fp"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id, fp
+      FROM (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+                   row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+            FROM documents)
+      WHERE rn = 1
+      ORDER BY doc_id
+    """.stripMargin.trim),
+  )
+
+  /** MinHash signatures over word 3-gram shingles: 4 hash slots, each the
+    * lexicographic min of md5(shingle ⊕ seed). min() is the aggregate, so the
+    * signature computes with map-side partial aggregation in one shuffle.
+    */
+  val qMinhashSig: QuerySpec = QuerySpec(
+    "q35_minhash_signature",
+    (s, d) =>
+      docShingles(s, d)
+        .groupBy(col("doc_id"))
+        .agg(
+          min(md5(concat(col("sh"), lit("#0")).cast("binary"))).as("mh0"),
+          min(md5(concat(col("sh"), lit("#1")).cast("binary"))).as("mh1"),
+          min(md5(concat(col("sh"), lit("#2")).cast("binary"))).as("mh2"),
+          min(md5(concat(col("sh"), lit("#3")).cast("binary"))).as("mh3"),
+        )
+        .orderBy(col("doc_id")),
+    Some(s"""
+      WITH $shingleSqlCte
+      SELECT doc_id,
+             min(md5(sh || '#0')) AS mh0,
+             min(md5(sh || '#1')) AS mh1,
+             min(md5(sh || '#2')) AS mh2,
+             min(md5(sh || '#3')) AS mh3
+      FROM ds
+      GROUP BY doc_id
+      ORDER BY doc_id
+    """.stripMargin.trim),
+  )
+
+  /** MinHash LSH banding: 2 bands × 2 rows; docs sharing any band bucket become
+    * candidate pairs. The join key is (band index, bucket hash) — uniformly
+    * distributed, so the bucket join scales without salting.
+    */
+  val qMinhashBands: QuerySpec = QuerySpec(
+    "q36_minhash_candidates",
+    (s, d) => {
+      val sig = docShingles(s, d)
+        .groupBy(col("doc_id"))
+        .agg(
+          min(md5(concat(col("sh"), lit("#0")).cast("binary"))).as("mh0"),
+          min(md5(concat(col("sh"), lit("#1")).cast("binary"))).as("mh1"),
+          min(md5(concat(col("sh"), lit("#2")).cast("binary"))).as("mh2"),
+          min(md5(concat(col("sh"), lit("#3")).cast("binary"))).as("mh3"),
+        )
+      val banded = sig.select(
+        col("doc_id"),
+        explode(
+          array(
+            struct(lit(0).as("band"), md5(concat(col("mh0"), col("mh1")).cast("binary")).as("bucket")),
+            struct(lit(1).as("band"), md5(concat(col("mh2"), col("mh3")).cast("binary")).as("bucket")),
+          ),
+        ).as("b"),
+      ).select(col("doc_id"), col("b.band").as("band"), col("b.bucket").as("bucket"))
+      val a = banded.as("a")
+      val b = banded.as("b")
+      a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some(s"""
+      WITH $shingleSqlCte,
+      sig AS (SELECT doc_id,
+                     min(md5(sh || '#0')) AS mh0, min(md5(sh || '#1')) AS mh1,
+                     min(md5(sh || '#2')) AS mh2, min(md5(sh || '#3')) AS mh3
+              FROM ds GROUP BY doc_id),
+      banded AS (
+        SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS bucket FROM sig
+        UNION ALL
+        SELECT doc_id, 1 AS band, md5(mh2 || mh3) AS bucket FROM sig)
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      ORDER BY a_id, b_id
+    """.stripMargin.trim),
+  )
+
+  /** Exact n-gram Jaccard near-dup pairs: shingle-key self-join → common-count
+    * per pair → |A∩B| / |A∪B| ≥ 0.1. The join shuffles on the shingle value;
+    * hot shingles are the skew risk at scale — mitigated upstream because
+    * shingles are per-doc DISTINCT (a shingle contributes once per doc).
+    */
+  val qNgramJaccard: QuerySpec = QuerySpec(
+    "q37_ngram_jaccard",
+    (s, d) => {
+      val ds  = docShingles(s, d)
+      val cnt = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val a   = ds.as("a")
+      val b   = ds.as("b")
+      val common = a
+        .join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("common"))
+      common
+        .join(cnt.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
+        .join(cnt.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
+        .withColumn("jac", round(col("common") / (col("na") + col("nb") - col("common")), 4))
+        .filter(col("jac") >= 0.1)
+        .select(col("a_id"), col("b_id"), col("jac"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some(s"""
+      WITH $shingleSqlCte,
+      cnt AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+      pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common
+                FROM ds a JOIN ds b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT a_id, b_id,
+             round(common * 1.0 / (ca.n + cb.n - common), 4) AS jac
+      FROM pairs
+      JOIN cnt ca ON ca.doc_id = a_id
+      JOIN cnt cb ON cb.doc_id = b_id
+      WHERE round(common * 1.0 / (ca.n + cb.n - common), 4) >= 0.1
+      ORDER BY a_id, b_id
+    """.stripMargin.trim),
+  )
+
+  /** SimHash (64-bit) from xxhash64 token hashes — Spark-native hash, so no
+    * SQL oracle (driver records the weaker rows-only check). Per-token bits
+    * vote ±1 per position; the signature is the sign vector re-packed.
+    */
+  val qSimhash: QuerySpec = QuerySpec(
+    "q38_simhash",
+    (s, d) => {
+      val tokenHashes = docTokens(s, d)
+        .select(col("doc_id"), explode(col("toks")).as("token"))
+        .distinct()
+        .select(col("doc_id"), xxhash64(col("token")).as("h"))
+      val bits = tokenHashes
+        .select(
+          col("doc_id"),
+          posexplode(
+            transform(
+              sequence(lit(0), lit(63)),
+              i =>
+                when(
+                  call_function("shiftright", col("h"), i.cast("int")).bitwiseAND(1) === 1,
+                  1,
+                ).otherwise(-1),
+            ),
+          ).as(Seq("pos", "vote")),
+        )
+      bits
+        .groupBy(col("doc_id"), col("pos"))
+        .agg(sum(col("vote")).as("v"))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(
+            when(col("v") > 0, call_function("shiftleft", lit(1L), col("pos").cast("int")))
+              .otherwise(0L),
+          ).as("simhash"),
+        )
+        .orderBy(col("doc_id"))
+    },
+    None,
+  )
+
+  /** Token counting: whitespace tokens plus a BPE-ish subword estimate
+    * (regex split on non-alphanumeric boundaries + 4-chars-per-piece heuristic).
+    */
+  val qTokenCount: QuerySpec = QuerySpec(
+    "q39_token_count",
+    (s, d) =>
+      Tables
+        .documents(s, d)
+        .select(
+          col("doc_id"),
+          size(toks).cast("long").as("n_ws_tokens"),
+          size(filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= ""))
+            .cast("long")
+            .as("n_word_tokens"),
+          ceil(length(col("text")) / lit(4.0)).cast("long").as("n_bpe_est"),
+        )
+        .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(lower(text), '\s+'), tk -> tk <> '')) AS n_ws_tokens,
+             len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), tk -> tk <> '')) AS n_word_tokens,
+             CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est
+      FROM documents
+      ORDER BY doc_id
+    """.stripMargin.trim),
+  )
+
+  val all: Seq[QuerySpec] = Seq(
+    qTokenFreq,
+    qDocQuality,
+    qLangId,
+    qFingerprint,
+    qDedupExact,
+    qMinhashSig,
+    qMinhashBands,
+    qNgramJaccard,
+    qSimhash,
+    qTokenCount,
+  )
+}
