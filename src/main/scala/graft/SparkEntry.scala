@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.QuerySpec
-import graft.queries.{EventOps, GeoOps, Relational, SimilarityOps, TextOps}
+import graft.queries.{AnalyticsOps, EventOps, GeoOps, Relational, SimilarityOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,7 +17,8 @@ import graft.queries.{EventOps, GeoOps, Relational, SimilarityOps, TextOps}
 object SparkEntry {
 
   def specs: Seq[QuerySpec] =
-    Relational.all ++ EventOps.all ++ GeoOps.all ++ TextOps.all ++ SimilarityOps.all
+    Relational.all ++ EventOps.all ++ GeoOps.all ++ TextOps.all ++ SimilarityOps.all ++
+      AnalyticsOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

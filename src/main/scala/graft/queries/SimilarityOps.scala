@@ -3,36 +3,39 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
 import graft.core.{QuerySpec, Tables}
+import org.apache.spark.sql.graftbridge.VectorFunctions.{vecDot, vecNorm}
 
 /** Similarity search over the `embeddings` table (`vec_id, embedding float[64],
   * label`) — the ANN / near-dup-by-cosine leg of the training-data pipeline.
   *
-  * Design for scale: one side of every pairwise computation is broadcast
-  * (embeddings compress to KBs per thousand vectors), so the quadratic part is
-  * a BroadcastNestedLoopJoin that parallelizes over the streamed side's
-  * partitions with zero shuffle. The brute-force top-k here is the correctness
-  * baseline; the LSH/IVF bucketed variant (bucket on coarse quantization, join
-  * within bucket) is the 100 TB path and shares these column expressions.
+  * Scale design:
+  *  - every dot product is the codegen'd [[graft.functions.VecDot]] tight loop
+  *    (round-1's interpreted `aggregate(zip_with(...))` was 100×+ slower);
+  *  - float→double widening is a plain `Cast` (codegen'd), not a `transform`;
+  *  - the brute-force pair queries (q42/q43) broadcast one side, so the
+  *    quadratic part parallelizes over the streamed side with zero shuffle —
+  *    they are the *correctness baseline* for ANN;
+  *  - q45 is the 100 TB path: deterministic coarse quantization (sign of
+  *    dimension differences → 8-bit bucket), shuffle on the bucket key, exact
+  *    cosine verification *within* bucket only. Candidate volume drops from
+  *    O(n²) to Σ_b n_b², and the bucket key is content-derived and uniform, so
+  *    the join scales horizontally like the LSH-banding dedup join.
   *
-  * All float math is widened to double *before* any arithmetic on both the
-  * Spark and DuckDB sides so the fold order is the only divergence — which the
-  * output rounding (or id-only outputs) absorbs.
+  * All float math is widened to double before any arithmetic on both the Spark
+  * and DuckDB sides, so fold order is the only divergence — absorbed by output
+  * rounding (or id-only outputs).
   */
 object SimilarityOps {
 
-  private def vec: Column = transform(col("embedding"), x => x.cast("double"))
-
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  /** vec_id, v (double[]), norm — shared prep for every query below. */
+  /** vec_id, v (double[]), nrm — shared prep for every query below. */
   private def normed(s: SparkSession, d: String): DataFrame =
     Tables
       .embeddings(s, d)
-      .select(col("vec_id"), col("label"), vec.as("v"))
-      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .select(col("vec_id"), col("label"), col("embedding").cast(ArrayType(DoubleType)).as("v"))
+      .withColumn("nrm", vecNorm(col("v")))
 
   private val normedSqlCte =
     """normed AS (
@@ -100,9 +103,8 @@ object SimilarityOps {
   )
 
   /** Cosine near-dup pairs above 0.4 — id-only output so no float crosses the
-    * hash compare; the threshold sits far from the data's sim distribution
-    * tail (max ≈ 0.51 at sf0.01, measured) only in the sense that pairs are
-    * sparse; boundary ties are broken by >= on both sides.
+    * hash compare. Brute force by design (the exact baseline q45 verifies
+    * against); the quadratic side is broadcast so no shuffle.
     */
   val qCosinePairs: QuerySpec = QuerySpec(
     "q42_cosine_pairs",
@@ -110,7 +112,7 @@ object SimilarityOps {
       val a = normed(s, d).select(col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
       val b = normed(s, d).select(col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"))
       a.join(broadcast(b), col("a_id") < col("b_id"))
-        .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .withColumn("sim", vecDot(col("va"), col("vb")) / (col("na") * col("nb")))
         .filter(col("sim") >= 0.4)
         .select(col("a_id"), col("b_id"))
         .orderBy(col("a_id"), col("b_id"))
@@ -135,7 +137,7 @@ object SimilarityOps {
       val b = normed(s, d).select(col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"))
       val sims = a
         .join(broadcast(b), col("a_id") =!= col("b_id"))
-        .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .withColumn("sim", vecDot(col("va"), col("vb")) / (col("na") * col("nb")))
       sims
         .withColumn(
           "rank",
@@ -163,5 +165,62 @@ object SimilarityOps {
     """.stripMargin.trim),
   )
 
-  val all: Seq[QuerySpec] = Seq(qNorms, qLabelCentroids, qCosinePairs, qCosineTopK)
+  /** Bucketed ANN — the 100 TB similarity-search shape. Deterministic coarse
+    * quantization: 8 sign-of-dimension-difference bits → 256 buckets; pairs are
+    * generated *within* a bucket only (shuffle keyed by bucket, no broadcast,
+    * no n² candidate set), then verified with exact cosine ≥ 0.3.
+    *
+    * The quantizer is content-derived and identical in both engines
+    * (`element_at` / `v[i]` are both 1-based), so this is exact-on-candidates
+    * and hash-checkable — recall vs the brute-force q42 is the documented ANN
+    * trade-off.
+    */
+  val qAnnBucketed: QuerySpec = QuerySpec(
+    "q45_ann_bucketed",
+    (s, d) => {
+      def bits(v: Column): Column =
+        (0 until 8)
+          .map(i =>
+            when(element_at(v, 2 * i + 1) > element_at(v, 2 * i + 2), lit(1 << i))
+              .otherwise(lit(0)),
+          )
+          .reduce(_ + _)
+      val bucketed = normed(s, d)
+        .select(col("vec_id"), col("v"), col("nrm"), bits(col("v")).as("bucket"))
+        // one shuffle on the bucket key — co-locates candidates for the
+        // self-join below; at scale this is `repartition` by content hash.
+        .repartition(col("bucket"))
+      val a = bucketed.select(col("bucket"), col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
+      val b = bucketed.select(col("bucket"), col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"))
+      a.join(b, Seq("bucket"))
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("sim", vecDot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .filter(col("sim") >= 0.3)
+        .select(col("a_id"), col("b_id"), round(col("sim"), 4).as("sim"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some(s"""
+      WITH $normedSqlCte,
+      bucketed AS (
+        SELECT vec_id, v, nrm,
+               (CASE WHEN v[1] > v[2] THEN 1 ELSE 0 END) +
+               (CASE WHEN v[3] > v[4] THEN 2 ELSE 0 END) +
+               (CASE WHEN v[5] > v[6] THEN 4 ELSE 0 END) +
+               (CASE WHEN v[7] > v[8] THEN 8 ELSE 0 END) +
+               (CASE WHEN v[9] > v[10] THEN 16 ELSE 0 END) +
+               (CASE WHEN v[11] > v[12] THEN 32 ELSE 0 END) +
+               (CASE WHEN v[13] > v[14] THEN 64 ELSE 0 END) +
+               (CASE WHEN v[15] > v[16] THEN 128 ELSE 0 END) AS bucket
+        FROM normed)
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS sim
+      FROM bucketed a JOIN bucketed b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.3
+      ORDER BY a_id, b_id
+    """.stripMargin.trim),
+  )
+
+  val all: Seq[QuerySpec] =
+    Seq(qNorms, qLabelCentroids, qCosinePairs, qCosineTopK, qAnnBucketed)
 }
