@@ -29,7 +29,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.driver.memory", "24g")
+      // NOTE: driver heap for local mode comes from build.sbt javaOptions
+      // (SPARK_DRIVER_MEM env) — setting spark.driver.memory here would be a
+      // no-op once the JVM is already running.
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

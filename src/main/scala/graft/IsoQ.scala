@@ -1,7 +1,24 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Fast-iteration timing entry point (see .claude/skills/verify/SKILL.md):
+  * `runMain graft.IsoQ q1,q2 /root/testdata/sf0.01` prints `TIMING <name> <sec>`
+  * per query with no oracle compare.
+  */
 object IsoQ {
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: IsoQ <name1,name2,...> <sfDir>")
+      System.err.println("valid query names:\n  " + SparkEntry.queries.keys.toSeq.sorted.mkString("\n  "))
+      sys.exit(2)
+    }
+    val names = args(0).split(",").toSeq
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    if (unknown.nonEmpty) {
+      System.err.println(s"unknown queries: ${unknown.mkString(",")}")
+      System.err.println("valid query names:\n  " + SparkEntry.queries.keys.toSeq.sorted.mkString("\n  "))
+      sys.exit(2)
+    }
     val sfDir = args(1)
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -10,7 +27,7 @@ object IsoQ {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    for (name <- args(0).split(",")) {
+    for (name <- names) {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).foreachPartition { it: Iterator[org.apache.spark.sql.Row] => while (it.hasNext) it.next(); () }
       println(f"TIMING $name ${(System.nanoTime()-t0)/1e9}%.2f s")

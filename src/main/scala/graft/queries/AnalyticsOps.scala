@@ -123,19 +123,29 @@ object AnalyticsOps {
 
   /** A9: KDE difference between the current (0,24] h and previous (24,48] h
     * windows; a cell "fires" where the density increase exceeds the threshold
-    * (`data_utils.py:225-227`, `app.py:617-620`). The comparison uses the
-    * *rounded* diff so the boolean is deterministic across engines.
+    * (`data_utils.py:225-227`, `app.py:617-620`).
+    *
+    * Each density is rounded to 4 digits of ppm FIRST (exactly the q23
+    * contract, which hash-matches) and the diff is taken over the rounded
+    * values — diffing the raw sums amplified fold-order ULP divergence between
+    * engines into the last rounded digit in round 2 (hash_match=false). The
+    * diff of two 4-digit decimals re-rounds once more to kill binary
+    * representation noise of the subtraction itself.
     */
   val qKdeDiff: QuerySpec = QuerySpec(
     "q24_kde_diff",
     (s, d) => {
-      val zc = KDE.density(points(s, d, 0, 24), gridDf(s), BW).withColumnRenamed("z", "zc")
-      val zp = KDE.density(points(s, d, 24, 48), gridDf(s), BW).withColumnRenamed("z", "zp")
+      val zc = KDE
+        .density(points(s, d, 0, 24), gridDf(s), BW)
+        .select(col("cell_x"), col("cell_y"), round(col("z") * lit(1000000.0), 4).as("zc"))
+      val zp = KDE
+        .density(points(s, d, 24, 48), gridDf(s), BW)
+        .select(col("cell_x"), col("cell_y"), round(col("z") * lit(1000000.0), 4).as("zp"))
       zc.join(zp, Seq("cell_x", "cell_y"))
         .select(
           col("cell_x"),
           col("cell_y"),
-          round((col("zc") - col("zp")) * lit(1000000.0), 4).as("z_diff_ppm"),
+          round(col("zc") - col("zp"), 4).as("z_diff_ppm"),
         )
         .withColumn("fired", col("z_diff_ppm") > 5.0)
         .orderBy(col("cell_x"), col("cell_y"))
@@ -145,12 +155,14 @@ object AnalyticsOps {
       ${pointsSqlCte("p", 24, 48)},
       $gridSqlCte,
       ${densitySqlCtes("c")},
-      ${densitySqlCtes("p")}
-      SELECT c.cell_x, c.cell_y,
-             round((c.z - p.z) * 1000000.0, 4) AS z_diff_ppm,
-             round((c.z - p.z) * 1000000.0, 4) > 5.0 AS fired
-      FROM z_c c JOIN z_p p ON c.cell_x = p.cell_x AND c.cell_y = p.cell_y
-      ORDER BY c.cell_x, c.cell_y
+      ${densitySqlCtes("p")},
+      rc AS (SELECT cell_x, cell_y, round(z * 1000000.0, 4) AS zc FROM z_c),
+      rp AS (SELECT cell_x, cell_y, round(z * 1000000.0, 4) AS zp FROM z_p)
+      SELECT rc.cell_x, rc.cell_y,
+             round(rc.zc - rp.zp, 4) AS z_diff_ppm,
+             round(rc.zc - rp.zp, 4) > 5.0 AS fired
+      FROM rc JOIN rp ON rc.cell_x = rp.cell_x AND rc.cell_y = rp.cell_y
+      ORDER BY rc.cell_x, rc.cell_y
     """.stripMargin.trim),
   )
 

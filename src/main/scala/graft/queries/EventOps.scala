@@ -170,6 +170,9 @@ object EventOps {
 
   /** A5: mode with deterministic first-wins tie-break
     * (`tweet_utils.py:564-583`; tie-break per SURVEY §7.4.4).
+    * Explicit `asc_nulls_last` on the tie-break key: Spark's default asc puts
+    * NULLs first while DuckDB puts them last, so a count tie involving the
+    * NULL event_type would otherwise flip the winning row between engines.
     */
   val qMode: QuerySpec = QuerySpec(
     "q17_event_type_mode",
@@ -178,12 +181,12 @@ object EventOps {
         .events(s, d)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("event_type"))
+        .orderBy(col("n").desc, col("event_type").asc_nulls_last)
         .limit(1),
     Some("""
       SELECT event_type, count(*) AS n
       FROM events GROUP BY event_type
-      ORDER BY n DESC, event_type LIMIT 1
+      ORDER BY n DESC, event_type ASC NULLS LAST LIMIT 1
     """.stripMargin.trim),
   )
 
