@@ -35,18 +35,26 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Median-of-3 per query: single-shot timings on a shared machine have been
+    // noise-dominated (same code swung 4 s → 352 s between rounds); the median
+    // of three back-to-back runs is robust to a single contention spike while
+    // keeping total bench wall-clock bounded. Override with SPARK_GRAFT_BENCH_REPS.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        // Materialize every row of every column on the executors; nothing is
-        // collected to the driver, nothing is pruned.
-        fn(spark, sfDir).foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
-          while (it.hasNext) it.next()
-          ()
-        }
-      } catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      val sec = (System.nanoTime() - t0) / 1e9
-      name -> BigDecimal(sec).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try {
+          // Materialize every row of every column on the executors; nothing is
+          // collected to the driver, nothing is pruned.
+          fn(spark, sfDir).foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+            while (it.hasNext) it.next()
+            ()
+          }
+        } catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      val median = times(times.length / 2)
+      name -> BigDecimal(median).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
     }
 
     val qs    = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
