@@ -37,15 +37,22 @@ object TextOps {
   private def docTokens(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(col("doc_id"), toks.as("toks"))
 
-  /** Distinct (doc_id, shingle) pairs — the exploded n-gram set used by both
-    * MinHash and exact Jaccard. Docs with fewer than 3 tokens drop out on both
-    * sides (empty unnest).
+  /** Per-doc DISTINCT shingle set carried as one array column. `array_distinct`
+    * dedups inside the row, so the old explode→DISTINCT shuffle disappears —
+    * at 100 TB that was a full extra exchange on (doc_id, shingle) before any
+    * dedup work even started. Docs with fewer than 3 tokens drop out.
     */
-  private def docShingles(s: SparkSession, d: String): DataFrame =
+  private def docShingleSets(s: SparkSession, d: String): DataFrame =
     docTokens(s, d)
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(shingles(col("toks"))).as("sh"))
-      .distinct()
+      .select(col("doc_id"), array_distinct(shingles(col("toks"))).as("shs"))
+
+  /** One MinHash slot computed inside the row: min over the shingle array of
+    * md5(shingle ⊕ seed). No explode, no groupBy — the signature is per-row
+    * algebra, embarrassingly parallel at any scale.
+    */
+  private def mhSlot(shs: Column, seed: Int): Column =
+    array_min(transform(shs, sh => md5(concat(sh, lit(s"#$seed")).cast("binary"))))
 
   private val shingleSqlCte =
     """t AS (SELECT doc_id,
@@ -217,19 +224,20 @@ object TextOps {
   )
 
   /** MinHash signatures over word 3-gram shingles: 4 hash slots, each the
-    * lexicographic min of md5(shingle ⊕ seed). min() is the aggregate, so the
-    * signature computes with map-side partial aggregation in one shuffle.
+    * lexicographic min of md5(shingle ⊕ seed), computed with `array_min` over
+    * the in-row shingle set — zero shuffles end to end (scan → project). The
+    * DuckDB oracle keeps the equivalent explode+GROUP BY formulation.
     */
   val qMinhashSig: QuerySpec = QuerySpec(
     "q35_minhash_signature",
     (s, d) =>
-      docShingles(s, d)
-        .groupBy(col("doc_id"))
-        .agg(
-          min(md5(concat(col("sh"), lit("#0")).cast("binary"))).as("mh0"),
-          min(md5(concat(col("sh"), lit("#1")).cast("binary"))).as("mh1"),
-          min(md5(concat(col("sh"), lit("#2")).cast("binary"))).as("mh2"),
-          min(md5(concat(col("sh"), lit("#3")).cast("binary"))).as("mh3"),
+      docShingleSets(s, d)
+        .select(
+          col("doc_id"),
+          mhSlot(col("shs"), 0).as("mh0"),
+          mhSlot(col("shs"), 1).as("mh1"),
+          mhSlot(col("shs"), 2).as("mh2"),
+          mhSlot(col("shs"), 3).as("mh3"),
         )
         .orderBy(col("doc_id")),
     Some(s"""
@@ -252,14 +260,17 @@ object TextOps {
   val qMinhashBands: QuerySpec = QuerySpec(
     "q36_minhash_candidates",
     (s, d) => {
-      val sig = docShingles(s, d)
-        .groupBy(col("doc_id"))
-        .agg(
-          min(md5(concat(col("sh"), lit("#0")).cast("binary"))).as("mh0"),
-          min(md5(concat(col("sh"), lit("#1")).cast("binary"))).as("mh1"),
-          min(md5(concat(col("sh"), lit("#2")).cast("binary"))).as("mh2"),
-          min(md5(concat(col("sh"), lit("#3")).cast("binary"))).as("mh3"),
-        )
+      // The signature is the same in-row array_min algebra as q35 — no agg, no
+      // shuffle — so even though the self-join scans it from both sides, each
+      // side is a plain scan+project and the (band,bucket) exchange below is
+      // the query's only shuffle (identical on both sides → ReuseExchange).
+      val sig = docShingleSets(s, d).select(
+        col("doc_id"),
+        mhSlot(col("shs"), 0).as("mh0"),
+        mhSlot(col("shs"), 1).as("mh1"),
+        mhSlot(col("shs"), 2).as("mh2"),
+        mhSlot(col("shs"), 3).as("mh3"),
+      )
       val banded = sig.select(
         col("doc_id"),
         explode(
@@ -294,24 +305,28 @@ object TextOps {
   )
 
   /** Exact n-gram Jaccard near-dup pairs: shingle-key self-join → common-count
-    * per pair → |A∩B| / |A∪B| ≥ 0.1. The join shuffles on the shingle value;
-    * hot shingles are the skew risk at scale — mitigated upstream because
-    * shingles are per-doc DISTINCT (a shingle contributes once per doc).
+    * per pair → |A∩B| / |A∪B| ≥ 0.1. The per-doc set size |A| rides along each
+    * exploded shingle row (`size(shs)` is in-row algebra), so the old separate
+    * `cnt` aggregate and its two re-join scans are gone — the plan is two
+    * scans (self-join sides, identical subplans → ReuseExchange collapses the
+    * shuffle to one) and one pair-grouping. Hot shingles are the skew risk at
+    * scale — mitigated upstream because shingles are per-doc DISTINCT.
     */
   val qNgramJaccard: QuerySpec = QuerySpec(
     "q37_ngram_jaccard",
     (s, d) => {
-      val ds  = docShingles(s, d)
-      val cnt = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val a   = ds.as("a")
-      val b   = ds.as("b")
-      val common = a
-        .join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      val ds = docShingleSets(s, d)
+        .select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("sh"))
+      val a = ds.as("a")
+      val b = ds.as("b")
+      a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(
+          col("a.doc_id").as("a_id"),
+          col("b.doc_id").as("b_id"),
+          col("a.n").as("na"),
+          col("b.n").as("nb"),
+        )
         .agg(count(lit(1)).as("common"))
-      common
-        .join(cnt.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
-        .join(cnt.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
         .withColumn("jac", round(col("common") / (col("na") + col("nb") - col("common")), 4))
         .filter(col("jac") >= 0.1)
         .select(col("a_id"), col("b_id"), col("jac"))
@@ -333,44 +348,67 @@ object TextOps {
     """.stripMargin.trim),
   )
 
-  /** SimHash (64-bit) from xxhash64 token hashes — Spark-native hash, so no
-    * SQL oracle (driver records the weaker rows-only check). Per-token bits
-    * vote ±1 per position; the signature is the sign vector re-packed.
+  /** SimHash (64-bit) from md5 token hashes, emitted as a 16-char hex string.
+    *
+    * Bits come from the first 16 hex nibbles of md5(token) — computable
+    * bit-identically by DuckDB, so q38 finally has a real oracle (it ran
+    * `no_oracle` for seven rounds on xxhash64). Per-token bit b of nibble k
+    * votes ±1; the doc's nibble k is re-packed from the four vote signs.
+    *
+    * Plan shape: distinct tokens stay in-row (`array_distinct`), one explode,
+    * ONE groupBy(doc_id) with 64 conditional-sum aggregates — replacing the
+    * old 64-way posexplode that multiplied every token row 64× before a
+    * double aggregation. Map-side partial aggregation keeps the single
+    * shuffle narrow (64 longs per doc).
     */
   val qSimhash: QuerySpec = QuerySpec(
     "q38_simhash",
     (s, d) => {
       val tokenHashes = docTokens(s, d)
-        .select(col("doc_id"), explode(col("toks")).as("token"))
-        .distinct()
-        .select(col("doc_id"), xxhash64(col("token")).as("h"))
-      val bits = tokenHashes
-        .select(
-          col("doc_id"),
-          posexplode(
-            transform(
-              sequence(lit(0), lit(63)),
-              i =>
-                when(
-                  call_function("shiftright", col("h"), i.cast("int")).bitwiseAND(1) === 1,
-                  1,
-                ).otherwise(-1),
-            ),
-          ).as(Seq("pos", "vote")),
-        )
-      bits
-        .groupBy(col("doc_id"), col("pos"))
-        .agg(sum(col("vote")).as("v"))
-        .groupBy(col("doc_id"))
-        .agg(
-          sum(
-            when(col("v") > 0, call_function("shiftleft", lit(1L), col("pos").cast("int")))
-              .otherwise(0L),
-          ).as("simhash"),
-        )
+        .select(col("doc_id"), explode(array_distinct(col("toks"))).as("token"))
+        .select(col("doc_id"), md5(col("token").cast("binary")).as("h"))
+      // nibble k (0-based, from the left of the hex string) as an int 0..15
+      def nibble(k: Int): Column = conv(substring(col("h"), k + 1, 1), 16, 10).cast("int")
+      val votes = (0 until 16).flatMap { k =>
+        (3 to 0 by -1).map { b =>
+          sum(when(nibble(k).bitwiseAND(lit(1 << b)) =!= 0, 1).otherwise(-1)).as(s"v_${k}_$b")
+        }
+      }
+      val voted = tokenHashes.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      val hexChar = (k: Int) => {
+        val nibbleVal = (3 to 0 by -1)
+          .map(b => when(col(s"v_${k}_$b") > 0, lit(1 << b)).otherwise(lit(0)))
+          .reduce(_ + _)
+        lit("0123456789abcdef").substr(nibbleVal + 1, lit(1))
+      }
+      voted
+        .select(col("doc_id"), concat((0 until 16).map(hexChar): _*).as("simhash"))
         .orderBy(col("doc_id"))
     },
-    None,
+    Some {
+      val voteSums = (for { k <- 0 until 16; b <- 3 to 0 by -1 } yield
+        s"sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, ${k + 1}, 1)) - 1) & ${1 << b}) <> 0 THEN 1 ELSE -1 END) AS v_${k}_$b").mkString(",\n             ")
+      val hexChars = (0 until 16).map { k =>
+        val nibbleVal = (3 to 0 by -1)
+          .map(b => s"(CASE WHEN v_${k}_$b > 0 THEN ${1 << b} ELSE 0 END)")
+          .mkString(" + ")
+        s"substr('0123456789abcdef', ($nibbleVal) + 1, 1)"
+      }.mkString(" ||\n             ")
+      s"""
+      WITH tok AS (SELECT DISTINCT doc_id,
+                          unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                             tk -> tk <> '')) AS token
+                   FROM documents),
+      h AS (SELECT doc_id, md5(token) AS h FROM tok),
+      v AS (SELECT doc_id,
+             $voteSums
+            FROM h GROUP BY doc_id)
+      SELECT doc_id,
+             $hexChars AS simhash
+      FROM v
+      ORDER BY doc_id
+      """.stripMargin.trim
+    },
   )
 
   /** Token counting: whitespace tokens plus a BPE-ish subword estimate
