@@ -166,59 +166,75 @@ object SimilarityOps {
   )
 
   /** Bucketed ANN — the 100 TB similarity-search shape. Deterministic coarse
-    * quantization: 8 sign-of-dimension-difference bits → 256 buckets; pairs are
-    * generated *within* a bucket only (shuffle keyed by bucket, no broadcast,
-    * no n² candidate set), then verified with exact cosine ≥ 0.3.
+    * quantization: per band, 16 sign-of-dimension-difference bits → 65,536
+    * buckets; 2 OR-probing bands (bits from disjoint dimension halves) so a
+    * near-neighbor missed by one band's quantization can still surface via the
+    * other. Pairs are generated *within* a (band, bucket) group only — the
+    * join's own hash exchange on the composite key spreads work across all
+    * shuffle partitions (the old `repartition(bucket)` capped parallelism at
+    * 256 tasks) — then verified with exact cosine ≥ 0.3 and deduped across
+    * bands. Candidate volume is Σ_band Σ_b n_b² with n_b ≈ n/65536 per band —
+    * sub-quadratic in practice for embedding data at any n.
     *
     * The quantizer is content-derived and identical in both engines
     * (`element_at` / `v[i]` are both 1-based), so this is exact-on-candidates
     * and hash-checkable — recall vs the brute-force q42 is the documented ANN
     * trade-off.
     */
+  private val AnnBands      = 2
+  private val AnnBitsPerBand = 16
+
   val qAnnBucketed: QuerySpec = QuerySpec(
     "q45_ann_bucketed",
     (s, d) => {
-      def bits(v: Column): Column =
-        (0 until 8)
-          .map(i =>
-            when(element_at(v, 2 * i + 1) > element_at(v, 2 * i + 2), lit(1 << i))
-              .otherwise(lit(0)),
-          )
+      // band `bi` reads dimension pairs (off+1, off+2), (off+3, off+4), …
+      // where off = bi * 2 * AnnBitsPerBand — disjoint halves of the 64 dims.
+      def bits(v: Column, bi: Int): Column =
+        (0 until AnnBitsPerBand)
+          .map { i =>
+            val off = bi * 2 * AnnBitsPerBand
+            when(element_at(v, off + 2 * i + 1) > element_at(v, off + 2 * i + 2), lit(1 << i))
+              .otherwise(lit(0))
+          }
           .reduce(_ + _)
+      val bandStructs = (0 until AnnBands).map(bi =>
+        struct(lit(bi).as("band"), bits(col("v"), bi).as("bucket")),
+      )
       val bucketed = normed(s, d)
-        .select(col("vec_id"), col("v"), col("nrm"), bits(col("v")).as("bucket"))
-        // one shuffle on the bucket key — co-locates candidates for the
-        // self-join below; at scale this is `repartition` by content hash.
-        .repartition(col("bucket"))
-      val a = bucketed.select(col("bucket"), col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
-      val b = bucketed.select(col("bucket"), col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"))
-      a.join(b, Seq("bucket"))
+        .select(col("vec_id"), col("v"), col("nrm"), explode(array(bandStructs: _*)).as("b"))
+        .select(col("vec_id"), col("v"), col("nrm"), col("b.band").as("band"), col("b.bucket").as("bucket"))
+      val a = bucketed.select(col("band"), col("bucket"), col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
+      val b = bucketed.select(col("band"), col("bucket"), col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"))
+      a.join(b, Seq("band", "bucket"))
         .filter(col("a_id") < col("b_id"))
         .withColumn("sim", vecDot(col("va"), col("vb")) / (col("na") * col("nb")))
         .filter(col("sim") >= 0.3)
         .select(col("a_id"), col("b_id"), round(col("sim"), 4).as("sim"))
+        .distinct() // a pair can match in both bands; sim is identical either way
         .orderBy(col("a_id"), col("b_id"))
     },
-    Some(s"""
+    Some {
+      val bandSelects = (0 until AnnBands)
+        .map { bi =>
+          val off = bi * 2 * AnnBitsPerBand
+          val bitTerms = (0 until AnnBitsPerBand)
+            .map(i => s"(CASE WHEN v[${off + 2 * i + 1}] > v[${off + 2 * i + 2}] THEN ${1 << i} ELSE 0 END)")
+            .mkString(" +\n               ")
+          s"SELECT vec_id, v, nrm, $bi AS band,\n               $bitTerms AS bucket\n        FROM normed"
+        }
+        .mkString("\n        UNION ALL\n        ")
+      s"""
       WITH $normedSqlCte,
       bucketed AS (
-        SELECT vec_id, v, nrm,
-               (CASE WHEN v[1] > v[2] THEN 1 ELSE 0 END) +
-               (CASE WHEN v[3] > v[4] THEN 2 ELSE 0 END) +
-               (CASE WHEN v[5] > v[6] THEN 4 ELSE 0 END) +
-               (CASE WHEN v[7] > v[8] THEN 8 ELSE 0 END) +
-               (CASE WHEN v[9] > v[10] THEN 16 ELSE 0 END) +
-               (CASE WHEN v[11] > v[12] THEN 32 ELSE 0 END) +
-               (CASE WHEN v[13] > v[14] THEN 64 ELSE 0 END) +
-               (CASE WHEN v[15] > v[16] THEN 128 ELSE 0 END) AS bucket
-        FROM normed)
-      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        $bandSelects)
+      SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id,
              round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS sim
       FROM bucketed a JOIN bucketed b
-        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
       WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.3
       ORDER BY a_id, b_id
-    """.stripMargin.trim),
+      """.stripMargin.trim
+    },
   )
 
   val all: Seq[QuerySpec] =

@@ -223,39 +223,45 @@ object TextOps {
     """.stripMargin.trim),
   )
 
-  /** MinHash signatures over word 3-gram shingles: 4 hash slots, each the
-    * lexicographic min of md5(shingle ⊕ seed), computed with `array_min` over
-    * the in-row shingle set — zero shuffles end to end (scan → project). The
-    * DuckDB oracle keeps the equivalent explode+GROUP BY formulation.
+  /** MinHash config: 8 slots banded 4×2 (production LSH would run ~128 slots;
+    * 8 keeps the verify/bench artifacts readable while exercising the same
+    * plan shape — slots are in-row algebra, so widening the signature adds
+    * zero shuffles, only per-row CPU).
     */
+  private val MinhashSlots = 8
+  private val MinhashBands = 4
+  private val RowsPerBand  = MinhashSlots / MinhashBands
+
+  /** MinHash signatures over word 3-gram shingles: each slot the lexicographic
+    * min of md5(shingle ⊕ seed), computed with `array_min` over the in-row
+    * shingle set — zero shuffles end to end (scan → project). The DuckDB
+    * oracle keeps the equivalent explode+GROUP BY formulation.
+    */
+  private def minhashSig(s: SparkSession, d: String): DataFrame =
+    docShingleSets(s, d).select(
+      col("doc_id") +: (0 until MinhashSlots).map(i => mhSlot(col("shs"), i).as(s"mh$i")): _*,
+    )
+
+  private val minhashSigSql: String =
+    (0 until MinhashSlots).map(i => s"min(md5(sh || '#$i')) AS mh$i").mkString(",\n             ")
+
   val qMinhashSig: QuerySpec = QuerySpec(
     "q35_minhash_signature",
-    (s, d) =>
-      docShingleSets(s, d)
-        .select(
-          col("doc_id"),
-          mhSlot(col("shs"), 0).as("mh0"),
-          mhSlot(col("shs"), 1).as("mh1"),
-          mhSlot(col("shs"), 2).as("mh2"),
-          mhSlot(col("shs"), 3).as("mh3"),
-        )
-        .orderBy(col("doc_id")),
+    (s, d) => minhashSig(s, d).orderBy(col("doc_id")),
     Some(s"""
       WITH $shingleSqlCte
       SELECT doc_id,
-             min(md5(sh || '#0')) AS mh0,
-             min(md5(sh || '#1')) AS mh1,
-             min(md5(sh || '#2')) AS mh2,
-             min(md5(sh || '#3')) AS mh3
+             $minhashSigSql
       FROM ds
       GROUP BY doc_id
       ORDER BY doc_id
     """.stripMargin.trim),
   )
 
-  /** MinHash LSH banding: 2 bands × 2 rows; docs sharing any band bucket become
-    * candidate pairs. The join key is (band index, bucket hash) — uniformly
-    * distributed, so the bucket join scales without salting.
+  /** MinHash LSH banding: $MinhashBands bands × $RowsPerBand rows; docs sharing
+    * any band bucket become candidate pairs. The join key is (band index,
+    * bucket hash) — uniformly distributed, so the bucket join scales without
+    * salting.
     */
   val qMinhashBands: QuerySpec = QuerySpec(
     "q36_minhash_candidates",
@@ -264,22 +270,14 @@ object TextOps {
       // shuffle — so even though the self-join scans it from both sides, each
       // side is a plain scan+project and the (band,bucket) exchange below is
       // the query's only shuffle (identical on both sides → ReuseExchange).
-      val sig = docShingleSets(s, d).select(
-        col("doc_id"),
-        mhSlot(col("shs"), 0).as("mh0"),
-        mhSlot(col("shs"), 1).as("mh1"),
-        mhSlot(col("shs"), 2).as("mh2"),
-        mhSlot(col("shs"), 3).as("mh3"),
-      )
-      val banded = sig.select(
-        col("doc_id"),
-        explode(
-          array(
-            struct(lit(0).as("band"), md5(concat(col("mh0"), col("mh1")).cast("binary")).as("bucket")),
-            struct(lit(1).as("band"), md5(concat(col("mh2"), col("mh3")).cast("binary")).as("bucket")),
-          ),
-        ).as("b"),
-      ).select(col("doc_id"), col("b.band").as("band"), col("b.bucket").as("bucket"))
+      val sig = minhashSig(s, d)
+      val bandStructs = (0 until MinhashBands).map { bi =>
+        val rows = (0 until RowsPerBand).map(r => col(s"mh${bi * RowsPerBand + r}"))
+        struct(lit(bi).as("band"), md5(concat(rows: _*).cast("binary")).as("bucket"))
+      }
+      val banded = sig
+        .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+        .select(col("doc_id"), col("b.band").as("band"), col("b.bucket").as("bucket"))
       val a = banded.as("a")
       val b = banded.as("b")
       a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
@@ -287,39 +285,55 @@ object TextOps {
         .distinct()
         .orderBy(col("a_id"), col("b_id"))
     },
-    Some(s"""
+    Some {
+      val bandSelects = (0 until MinhashBands)
+        .map { bi =>
+          val rows = (0 until RowsPerBand).map(r => s"mh${bi * RowsPerBand + r}").mkString(" || ")
+          s"SELECT doc_id, $bi AS band, md5($rows) AS bucket FROM sig"
+        }
+        .mkString("\n        UNION ALL\n        ")
+      s"""
       WITH $shingleSqlCte,
       sig AS (SELECT doc_id,
-                     min(md5(sh || '#0')) AS mh0, min(md5(sh || '#1')) AS mh1,
-                     min(md5(sh || '#2')) AS mh2, min(md5(sh || '#3')) AS mh3
+             $minhashSigSql
               FROM ds GROUP BY doc_id),
       banded AS (
-        SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS bucket FROM sig
-        UNION ALL
-        SELECT doc_id, 1 AS band, md5(mh2 || mh3) AS bucket FROM sig)
+        $bandSelects)
       SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
       FROM banded a JOIN banded b
         ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
       ORDER BY a_id, b_id
-    """.stripMargin.trim),
+      """.stripMargin.trim
+    },
   )
 
   /** Exact n-gram Jaccard near-dup pairs: shingle-key self-join → common-count
     * per pair → |A∩B| / |A∪B| ≥ 0.1. The per-doc set size |A| rides along each
-    * exploded shingle row (`size(shs)` is in-row algebra), so the old separate
-    * `cnt` aggregate and its two re-join scans are gone — the plan is two
-    * scans (self-join sides, identical subplans → ReuseExchange collapses the
-    * shuffle to one) and one pair-grouping. Hot shingles are the skew risk at
-    * scale — mitigated upstream because shingles are per-doc DISTINCT.
+    * exploded shingle row (`size(shs)` is in-row algebra).
+    *
+    * Join mechanics at scale: the raw-string self-join used to plan as a
+    * BroadcastHashJoin whose build side was the *entire exploded* shingle
+    * relation — Spark sizes the side from the parquet file stats, blind to the
+    * explode expansion, and building every (doc_id, shingle) row on the driver
+    * is an OOM at 100×. Two fixes: (1) the join key is `xxhash64(sh)` — an
+    * 8-byte uniform key instead of n-gram text (64-bit collisions are
+    * negligible below ~10⁹ distinct shingles and only perturb `common` by ±1);
+    * (2) an explicit `shuffle_hash` hint forces a ShuffledHashJoin, whose two
+    * identical child subplans collapse into one exchange via ReuseExchange —
+    * verified via `explain()`: no broadcast anywhere in the plan. Hot shingles
+    * are the skew risk at scale — mitigated upstream because shingles are
+    * per-doc DISTINCT.
     */
   val qNgramJaccard: QuerySpec = QuerySpec(
     "q37_ngram_jaccard",
     (s, d) => {
       val ds = docShingleSets(s, d)
         .select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("sh"))
+        .select(col("doc_id"), col("n"), xxhash64(col("sh")).as("sh"))
       val a = ds.as("a")
       val b = ds.as("b")
-      a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      a.hint("shuffle_hash")
+        .join(b.hint("shuffle_hash"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(
           col("a.doc_id").as("a_id"),
           col("b.doc_id").as("b_id"),
