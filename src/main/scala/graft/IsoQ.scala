@@ -20,14 +20,19 @@ object IsoQ {
       sys.exit(2)
     }
     val sfDir = args(1)
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     for (name <- names) {
+      if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")) {
+        println(s"==== EXPLAIN $name ====")
+        SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      }
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).foreachPartition { it: Iterator[org.apache.spark.sql.Row] => while (it.hasNext) it.next(); () }
       println(f"TIMING $name ${(System.nanoTime()-t0)/1e9}%.2f s")

@@ -169,11 +169,14 @@ object SimilarityOps {
     * quantization: per band, 16 sign-of-dimension-difference bits → 65,536
     * buckets; 2 OR-probing bands (bits from disjoint dimension halves) so a
     * near-neighbor missed by one band's quantization can still surface via the
-    * other. Pairs are generated *within* a (band, bucket) group only — the
-    * join's own hash exchange on the composite key spreads work across all
-    * shuffle partitions (the old `repartition(bucket)` capped parallelism at
-    * 256 tasks) — then verified with exact cosine ≥ 0.3 and deduped across
-    * bands. Candidate volume is Σ_band Σ_b n_b² with n_b ≈ n/65536 per band —
+    * other. Pairs are generated *within* a (band, bucket) group only. The join
+    * carries an explicit `shuffle_hash` hint: Spark sizes join sides from the
+    * parquet file stats, blind to the band explode, and would otherwise
+    * broadcast the full exploded (band, bucket, vec_id, v[64], nrm) relation —
+    * a driver-built hash table holding every vector. The hint forces a
+    * ShuffledHashJoin whose hash exchange on the uniform composite key spreads
+    * work across all shuffle partitions; candidates are then verified with
+    * exact cosine ≥ 0.3 and deduped across bands. Candidate volume is Σ_band Σ_b n_b² with n_b ≈ n/65536 per band —
     * sub-quadratic in practice for embedding data at any n.
     *
     * The quantizer is content-derived and identical in both engines
@@ -205,7 +208,8 @@ object SimilarityOps {
         .select(col("vec_id"), col("v"), col("nrm"), col("b.band").as("band"), col("b.bucket").as("bucket"))
       val a = bucketed.select(col("band"), col("bucket"), col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
       val b = bucketed.select(col("band"), col("bucket"), col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"))
-      a.join(b, Seq("band", "bucket"))
+      a.hint("shuffle_hash")
+        .join(b.hint("shuffle_hash"), Seq("band", "bucket"))
         .filter(col("a_id") < col("b_id"))
         .withColumn("sim", vecDot(col("va"), col("vb")) / (col("na") * col("nb")))
         .filter(col("sim") >= 0.3)

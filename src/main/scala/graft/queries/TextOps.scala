@@ -40,12 +40,16 @@ object TextOps {
   /** Per-doc DISTINCT shingle set carried as one array column. `array_distinct`
     * dedups inside the row, so the old explode→DISTINCT shuffle disappears —
     * at 100 TB that was a full extra exchange on (doc_id, shingle) before any
-    * dedup work even started. Docs with fewer than 3 tokens drop out.
+    * dedup work even started. Docs with fewer than 3 tokens drop out — gated
+    * by a cheap regex (≥3 whitespace-separated runs ⟺ `size(toks) >= 3`), so
+    * the predicate pushed into the parquet scan is a single `rlike` instead of
+    * a re-evaluation of the whole tokenize→shingle array pipeline per row.
     */
   private def docShingleSets(s: SparkSession, d: String): DataFrame =
-    docTokens(s, d)
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), array_distinct(shingles(col("toks"))).as("shs"))
+    Tables
+      .documents(s, d)
+      .filter(col("text").rlike("\\S+\\s+\\S+\\s+\\S+"))
+      .select(col("doc_id"), array_distinct(shingles(toks)).as("shs"))
 
   /** One MinHash slot computed inside the row: min over the shingle array of
     * md5(shingle ⊕ seed). No explode, no groupBy — the signature is per-row
@@ -267,9 +271,12 @@ object TextOps {
     "q36_minhash_candidates",
     (s, d) => {
       // The signature is the same in-row array_min algebra as q35 — no agg, no
-      // shuffle — so even though the self-join scans it from both sides, each
-      // side is a plain scan+project and the (band,bucket) exchange below is
-      // the query's only shuffle (identical on both sides → ReuseExchange).
+      // shuffle — so each join side is a plain scan+project. Spark sizes join
+      // sides from the parquet file stats, blind to the band explode, and
+      // would broadcast the FULL banded relation (a driver-built hash table of
+      // every banded row — an OOM at scale); the explicit `shuffle_hash` hint
+      // forces a ShuffledHashJoin on the uniform (band,bucket) key instead,
+      // and the two identical child subplans collapse via ReuseExchange.
       val sig = minhashSig(s, d)
       val bandStructs = (0 until MinhashBands).map { bi =>
         val rows = (0 until RowsPerBand).map(r => col(s"mh${bi * RowsPerBand + r}"))
@@ -280,7 +287,8 @@ object TextOps {
         .select(col("doc_id"), col("b.band").as("band"), col("b.bucket").as("bucket"))
       val a = banded.as("a")
       val b = banded.as("b")
-      a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      a.hint("shuffle_hash")
+        .join(b.hint("shuffle_hash"), col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
         .distinct()
         .orderBy(col("a_id"), col("b_id"))
@@ -327,8 +335,17 @@ object TextOps {
   val qNgramJaccard: QuerySpec = QuerySpec(
     "q37_ngram_jaccard",
     (s, d) => {
+      // explode_outer, not explode: a plain explode makes the optimizer infer
+      // `size(shs) > 0 AND isnotnull(shs)` filters (InferFiltersFromGenerate)
+      // and push them through the projection, re-evaluating the whole
+      // tokenize→shingle pipeline two more times per row inside the scan
+      // filter. The rlike in docShingleSets already guarantees non-empty
+      // shingle sets, so outer semantics are identical; the isNotNull below
+      // only drops the (never-occurring) null rows and keeps the join key
+      // non-null.
       val ds = docShingleSets(s, d)
-        .select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("sh"))
+        .select(col("doc_id"), size(col("shs")).as("n"), explode_outer(col("shs")).as("sh"))
+        .filter(col("sh").isNotNull)
         .select(col("doc_id"), col("n"), xxhash64(col("sh")).as("sh"))
       val a = ds.as("a")
       val b = ds.as("b")
