@@ -20,9 +20,11 @@ object IsoQ {
       sys.exit(2)
     }
     val sfDir = args(1)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    // Non-numeric SPARK_GRAFT_CPUS must not crash session build.
+    val cpus =
+      sys.env.get("SPARK_GRAFT_CPUS").flatMap(_.trim.toIntOption).filter(_ > 0).getOrElse(8)
     val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -33,8 +35,10 @@ object IsoQ {
         println(s"==== EXPLAIN $name ====")
         SparkEntry.queries(name)(spark, sfDir).explain("formatted")
       }
+      spark.sparkContext.setJobDescription(s"isoq:$name")
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir).foreachPartition { it: Iterator[org.apache.spark.sql.Row] => while (it.hasNext) it.next(); () }
+      // Same timed action as Bench: the noop sink (guide §1.4).
+      SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
       println(f"TIMING $name ${(System.nanoTime()-t0)/1e9}%.2f s")
     }
     spark.stop()
