@@ -26,13 +26,18 @@ case class VecDot(left: Expression, right: Expression)
 
   override def prettyName: String = "vec_dot"
 
+  // Reads elements straight out of the (Unsafe)ArrayData instead of
+  // `toDoubleArray()`: the bulk copy allocated two 512-byte arrays per CALL,
+  // i.e. per candidate pair in the O(n²) cosine joins — pure GC churn on the
+  // hot path (guide §1.2 "per-task work"). Same IEEE accumulation order, so
+  // results are bit-identical.
   override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val xs = a.asInstanceOf[ArrayData].toDoubleArray()
-    val ys = b.asInstanceOf[ArrayData].toDoubleArray()
-    val n  = math.min(xs.length, ys.length)
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n  = math.min(xs.numElements(), ys.numElements())
     var s  = 0.0
     var i  = 0
-    while (i < n) { s += xs(i) * ys(i); i += 1 }
+    while (i < n) { s += xs.getDouble(i) * ys.getDouble(i); i += 1 }
     s
   }
 
@@ -41,17 +46,13 @@ case class VecDot(left: Expression, right: Expression)
       ctx,
       ev,
       (a, b) => {
-        val xs = ctx.freshName("xs")
-        val ys = ctx.freshName("ys")
-        val n  = ctx.freshName("n")
-        val i  = ctx.freshName("i")
-        val s  = ctx.freshName("s")
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val s = ctx.freshName("s")
         s"""
-           |double[] $xs = $a.toDoubleArray();
-           |double[] $ys = $b.toDoubleArray();
-           |int $n = Math.min($xs.length, $ys.length);
+           |int $n = Math.min($a.numElements(), $b.numElements());
            |double $s = 0.0;
-           |for (int $i = 0; $i < $n; $i++) { $s += $xs[$i] * $ys[$i]; }
+           |for (int $i = 0; $i < $n; $i++) { $s += $a.getDouble($i) * $b.getDouble($i); }
            |${ev.value} = $s;
          """.stripMargin
       },

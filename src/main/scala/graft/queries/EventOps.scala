@@ -34,13 +34,18 @@ object EventOps {
   val qRecentEvents: QuerySpec = QuerySpec(
     "q10_recent_events",
     (s, d) =>
+      // Range-exchange + in-partition sort instead of a trailing orderBy: the
+      // global sort's sampling pass would re-run the scan+filter (guide §2.4);
+      // this shape samples the same child once and gives the identical global
+      // (ts desc, event_id) order.
       eventsWithAnchor(s, d)
         .filter(
           col("ts") >= col("anchor_ts") - expr("INTERVAL 24 HOURS") &&
             (col("event_type").isin("click", "view") || col("event_type").isNull),
         )
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-        .orderBy(col("ts").desc, col("event_id")),
+        .repartitionByRange(col("ts").desc, col("event_id"))
+        .sortWithinPartitions(col("ts").desc, col("event_id")),
     Some("""
       SELECT event_id, ts, user_id, event_type, value
       FROM events
@@ -145,10 +150,22 @@ object EventOps {
     */
   val qUserDecay: QuerySpec = QuerySpec(
     "q16_user_activity_decay",
+    // One exchange total (was two + a range-sample re-execution of the window
+    // stage): the window's required distribution (clustered by user_id) and
+    // ordering (user_id, ts, event_id) are established with a single RANGE
+    // exchange + in-partition sort, which simultaneously IS the output order —
+    // (user_id, rn) ≡ (user_id, ts, event_id) because rn ranks by (ts,
+    // event_id) within user_id. Range partitioning keeps equal user_ids in one
+    // partition, so the window never crosses partitions; the trailing
+    // orderBy(user_id, rn) exchange+sort disappears (guide §2.4: window keyed
+    // like a neighboring operation shares one exchange).
     (s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       Tables
         .events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"))
+        .repartitionByRange(col("user_id"))
+        .sortWithinPartitions(col("user_id"), col("ts"), col("event_id"))
         .withColumn("rn", row_number().over(w))
         .select(
           col("event_id"),
@@ -156,7 +173,6 @@ object EventOps {
           col("rn"),
           round(lit(1.0) / exp((col("rn") - lit(1)) * lit(0.05)), 6).as("weight"),
         )
-        .orderBy(col("user_id"), col("rn"))
     },
     Some("""
       SELECT event_id, user_id, rn,

@@ -50,14 +50,20 @@ object SimilarityOps {
     */
   val qNorms: QuerySpec = QuerySpec(
     "q40_embedding_norms",
+    // Global vec_id order established on the raw scan BEFORE the norm
+    // projection — a trailing orderBy would make the range partitioner's
+    // sampling pass compute every norm twice (guide §2.4).
     (s, d) =>
-      normed(s, d)
+      Tables
+        .embeddings(s, d)
+        .repartitionByRange(col("vec_id"))
+        .sortWithinPartitions("vec_id")
+        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("v"))
         .select(
           col("vec_id"),
           size(col("v")).cast("long").as("dim"),
-          round(col("nrm"), 4).as("l2_norm"),
-        )
-        .orderBy(col("vec_id")),
+          round(vecNorm(col("v")), 4).as("l2_norm"),
+        ),
     Some(s"""
       WITH $normedSqlCte
       SELECT vec_id, CAST(len(v) AS BIGINT) AS dim, round(nrm, 4) AS l2_norm
@@ -115,6 +121,12 @@ object SimilarityOps {
         .withColumn("sim", vecDot(col("va"), col("vb")) / (col("na") * col("nb")))
         .filter(col("sim") >= 0.4)
         .select(col("a_id"), col("b_id"))
+        // Materialization boundary before the global sort: without it the
+        // range partitioner's sampling pass re-executes its child — the ENTIRE
+        // O(n²) broadcast join — a second time (guide §2.4). The hash exchange
+        // carries only the filtered id pairs; the sort's sampling then re-reads
+        // those shuffle files instead of re-running the join.
+        .repartition(col("a_id"), col("b_id"))
         .orderBy(col("a_id"), col("b_id"))
     },
     Some(s"""

@@ -37,6 +37,22 @@ object TextOps {
   private def docTokens(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(col("doc_id"), toks.as("toks"))
 
+  /** documents with the global doc_id order established at the SCAN, before
+    * any expensive projection. A trailing `.orderBy(doc_id)` above a heavy
+    * projection makes the range partitioner's sampling pass execute the whole
+    * projection twice (guide §1.2/§2.4 — Exchange placement): the child of a
+    * range exchange is computed once to sample partition bounds and again to
+    * shuffle. Range-exchanging the narrow (doc_id, text) scan output and
+    * sorting within partitions gives the identical global order (range
+    * partitions are contiguous and ordered; projections preserve row order)
+    * for one execution of the projection and zero extra exchanges.
+    */
+  private def docsByIdSorted(s: SparkSession, d: String): DataFrame =
+    Tables
+      .documents(s, d)
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions("doc_id")
+
   /** Per-doc DISTINCT shingle set carried as one array column. `array_distinct`
     * dedups inside the row, so the old explode→DISTINCT shuffle disappears —
     * at 100 TB that was a full extra exchange on (doc_id, shingle) before any
@@ -99,8 +115,7 @@ object TextOps {
   val qDocQuality: QuerySpec = QuerySpec(
     "q31_doc_quality",
     (s, d) =>
-      Tables
-        .documents(s, d)
+      docsByIdSorted(s, d)
         .select(
           col("doc_id"),
           length(col("text")).cast("long").as("n_chars_calc"),
@@ -120,8 +135,7 @@ object TextOps {
               (lit(1.0) - col("n_punct") / nullif(col("n_chars_calc"), lit(0))),
             6,
           ),
-        )
-        .orderBy(col("doc_id")),
+        ),
     Some("""
       SELECT doc_id, n_chars_calc, n_tokens, n_punct, n_stop,
              round(n_stop * 1.0 / nullif(n_tokens, 0), 6) AS stop_ratio,
@@ -143,8 +157,7 @@ object TextOps {
     "q32_lang_id",
     (s, d) => {
       val lowered = lower(col("text"))
-      Tables
-        .documents(s, d)
+      docsByIdSorted(s, d)
         .select(
           col("doc_id"),
           col("lang"),
@@ -159,7 +172,6 @@ object TextOps {
             .otherwise("fr"),
         )
         .withColumn("is_match", col("lang_pred") === col("lang"))
-        .orderBy(col("doc_id"))
     },
     Some("""
       SELECT doc_id, lang, en_score, es_score, fr_score,
@@ -184,13 +196,11 @@ object TextOps {
   val qFingerprint: QuerySpec = QuerySpec(
     "q33_doc_fingerprint",
     (s, d) =>
-      Tables
-        .documents(s, d)
+      docsByIdSorted(s, d)
         .select(
           col("doc_id"),
           md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")).cast("binary")).as("fp"),
-        )
-        .orderBy(col("doc_id")),
+        ),
     Some("""
       SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
       FROM documents
@@ -251,7 +261,24 @@ object TextOps {
 
   val qMinhashSig: QuerySpec = QuerySpec(
     "q35_minhash_signature",
-    (s, d) => minhashSig(s, d).orderBy(col("doc_id")),
+    // Global doc_id order is established on the narrow scan output BEFORE the
+    // signature projection. The previous `minhashSig(..).orderBy(doc_id)` put
+    // the 8×md5 shingle algebra BELOW the range exchange, so the partitioner's
+    // sampling pass executed the whole signature twice per run — the r18
+    // "q35 warm 41.8 s vs superset q36 7.1 s" anomaly. Same rows, same order
+    // (range partitions are contiguous; projections preserve row order), one
+    // signature execution.
+    (s, d) => {
+      val sorted = Tables
+        .documents(s, d)
+        .filter(col("text").rlike("\\S+\\s+\\S+\\s+\\S+"))
+        .repartitionByRange(col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .select(col("doc_id"), array_distinct(shingles(toks)).as("shs"))
+      sorted.select(
+        col("doc_id") +: (0 until MinhashSlots).map(i => mhSlot(col("shs"), i).as(s"mh$i")): _*,
+      )
+    },
     Some(s"""
       WITH $shingleSqlCte
       SELECT doc_id,
@@ -398,14 +425,21 @@ object TextOps {
       val tokenHashes = docTokens(s, d)
         .select(col("doc_id"), explode(array_distinct(col("toks"))).as("token"))
         .select(col("doc_id"), md5(col("token").cast("binary")).as("h"))
-      // nibble k (0-based, from the left of the hex string) as an int 0..15
-      def nibble(k: Int): Column = conv(substring(col("h"), k + 1, 1), 16, 10).cast("int")
+      // nibble k (0-based, from the left of the hex string) as an int 0..15 —
+      // projected ONCE per row below the aggregate (16 conv/substring per row)
+      // instead of inlined into all 64 vote sums (4× re-evaluation per nibble);
+      // the partial-agg input also narrows from the 32-char hex string to 16
+      // ints.
+      val nibbled = tokenHashes.select(
+        col("doc_id") +:
+          (0 until 16).map(k => conv(substring(col("h"), k + 1, 1), 16, 10).cast("int").as(s"nib$k")): _*,
+      )
       val votes = (0 until 16).flatMap { k =>
         (3 to 0 by -1).map { b =>
-          sum(when(nibble(k).bitwiseAND(lit(1 << b)) =!= 0, 1).otherwise(-1)).as(s"v_${k}_$b")
+          sum(when(col(s"nib$k").bitwiseAND(lit(1 << b)) =!= 0, 1).otherwise(-1)).as(s"v_${k}_$b")
         }
       }
-      val voted = tokenHashes.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      val voted = nibbled.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
       val hexChar = (k: Int) => {
         val nibbleVal = (3 to 0 by -1)
           .map(b => when(col(s"v_${k}_$b") > 0, lit(1 << b)).otherwise(lit(0)))
@@ -448,8 +482,7 @@ object TextOps {
   val qTokenCount: QuerySpec = QuerySpec(
     "q39_token_count",
     (s, d) =>
-      Tables
-        .documents(s, d)
+      docsByIdSorted(s, d)
         .select(
           col("doc_id"),
           size(toks).cast("long").as("n_ws_tokens"),
@@ -457,8 +490,7 @@ object TextOps {
             .cast("long")
             .as("n_word_tokens"),
           ceil(length(col("text")) / lit(4.0)).cast("long").as("n_bpe_est"),
-        )
-        .orderBy(col("doc_id")),
+        ),
     Some("""
       SELECT doc_id,
              len(list_filter(regexp_split_to_array(lower(text), '\s+'), tk -> tk <> '')) AS n_ws_tokens,
