@@ -80,16 +80,22 @@ object SimilarityOps {
   val qLabelCentroids: QuerySpec = QuerySpec(
     "q41_label_centroids",
     (s, d) => {
+      // Single scan: the per-label vector count rides along the (label, pos)
+      // aggregate (every vector contributes one row to every pos, so the
+      // per-(label,pos) count IS n_vecs) — the old separate nVecs aggregate
+      // was a second full scan of the table plus a join (guide §1.2: don't
+      // compute things twice).
       val exploded = normed(s, d)
         .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-      val dimMeans = exploded
+      val dimStats = exploded
         .groupBy(col("label"), col("pos"))
-        .agg(avg(col("x")).as("m"))
-      val nVecs = normed(s, d).groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
-      dimMeans
+        .agg(avg(col("x")).as("m"), count(lit(1)).as("cnt"))
+      dimStats
         .groupBy(col("label"))
-        .agg(round(sqrt(sum(col("m") * col("m"))), 4).as("centroid_norm"))
-        .join(nVecs, "label")
+        .agg(
+          round(sqrt(sum(col("m") * col("m"))), 4).as("centroid_norm"),
+          max(col("cnt")).as("n_vecs"),
+        )
         .select(col("label"), col("n_vecs"), col("centroid_norm"))
         .orderBy(col("label"))
     },
