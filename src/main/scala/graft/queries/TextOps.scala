@@ -27,11 +27,27 @@ object TextOps {
   private def toks: Column =
     filter(split(lower(col("text")), "\\s+"), t => t =!= "")
 
-  /** Word 3-gram shingles: one string per consecutive token triple. */
+  /** Word 3-gram shingles: one string per consecutive token triple.
+    *
+    * `tokens` MUST be a materialized column reference, never an inline
+    * tokenizer expression: a non-lambda expression inside a higher-order
+    * lambda body is re-evaluated on EVERY lambda invocation in the
+    * interpreted HOF path, i.e. the whole split+filter would run once per
+    * shingle (measured 9× on the shingle pipeline at sf0.1 — r21).
+    * `concat_ws` over three `element_at`s replaces `array_join(slice(...))`,
+    * which allocated a 3-element array per shingle; output strings are
+    * byte-identical (verified over all sf0.1 docs).
+    */
   private def shingles(tokens: Column): Column =
     transform(
       sequence(lit(1), size(tokens) - 2),
-      i => array_join(slice(tokens, i, lit(3)), " "),
+      i =>
+        concat_ws(
+          " ",
+          element_at(tokens, i),
+          element_at(tokens, i + 1),
+          element_at(tokens, i + 2),
+        ),
     )
 
   private def docTokens(s: SparkSession, d: String): DataFrame =
@@ -65,7 +81,12 @@ object TextOps {
     Tables
       .documents(s, d)
       .filter(col("text").rlike("\\S+\\s+\\S+\\s+\\S+"))
-      .select(col("doc_id"), array_distinct(shingles(toks)).as("shs"))
+      // two projections on purpose: tokens materialize below, the shingle
+      // lambda above references the computed column (see shingles() docs;
+      // CollapseProject keeps them apart because toks is non-cheap and
+      // referenced more than once).
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), array_distinct(shingles(col("toks"))).as("shs"))
 
   /** One MinHash slot computed inside the row: min over the shingle array of
     * md5(shingle ⊕ seed). No explode, no groupBy — the signature is per-row
@@ -274,7 +295,8 @@ object TextOps {
         .filter(col("text").rlike("\\S+\\s+\\S+\\s+\\S+"))
         .repartitionByRange(col("doc_id"))
         .sortWithinPartitions("doc_id")
-        .select(col("doc_id"), array_distinct(shingles(toks)).as("shs"))
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"), array_distinct(shingles(col("toks"))).as("shs"))
       sorted.select(
         col("doc_id") +: (0 until MinhashSlots).map(i => mhSlot(col("shs"), i).as(s"mh$i")): _*,
       )
