@@ -50,6 +50,42 @@ object AnalyticsOps {
       )
   }
 
+  /** Both of q24's activity windows from ONE scan: rows in (anchor−48 h,
+    * anchor], tagged `c` (current, (anchor−24, anchor]) or `p` (previous,
+    * (anchor−48, anchor−24]). The decay rank partitions by (user_id, tag), so
+    * each window ranks its own rows exactly as [[points]] does after its
+    * window filter — same rn, same weight, per tag. One scan + one window
+    * exchange replace the two of everything the per-window [[points]] pair
+    * cost (guide §1.2: don't compute the same input twice).
+    */
+  private def taggedPoints(s: SparkSession, d: String): DataFrame = {
+    val ev     = Tables.events(s, d)
+    val anchor = ev.agg(max(col("ts")).as("anchor"))
+    ev.crossJoin(broadcast(anchor))
+      .filter(
+        col("ts") > col("anchor") - expr("INTERVAL 48 HOURS") &&
+          col("ts") <= col("anchor"),
+      )
+      .withColumn(
+        "tag",
+        when(col("ts") > col("anchor") - expr("INTERVAL 24 HOURS"), lit("c")).otherwise(lit("p")),
+      )
+      .withColumn("x", col("value") % 360.0 - 180.0)
+      .withColumn("y", (col("user_id") % 180 - 90).cast("double"))
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window.partitionBy(col("user_id"), col("tag")).orderBy(col("ts"), col("event_id")),
+        ),
+      )
+      .select(
+        col("tag"),
+        col("x"),
+        col("y"),
+        (lit(1.0) / exp((col("rn") - lit(1)) * lit(0.05))).as("w"),
+      )
+  }
+
   private def pointsSqlCte(tag: String, loHours: Int, hiHours: Int): String =
     s"""pts_$tag AS (
        |  SELECT value % 360.0 - 180.0 AS x,
@@ -135,13 +171,25 @@ object AnalyticsOps {
   val qKdeDiff: QuerySpec = QuerySpec(
     "q24_kde_diff",
     (s, d) => {
-      val zc = KDE
-        .density(points(s, d, 0, 24), gridDf(s), BW)
-        .select(col("cell_x"), col("cell_y"), round(col("z") * lit(1000000.0), 4).as("zc"))
-      val zp = KDE
-        .density(points(s, d, 24, 48), gridDf(s), BW)
-        .select(col("cell_x"), col("cell_y"), round(col("z") * lit(1000000.0), 4).as("zp"))
-      zc.join(zp, Seq("cell_x", "cell_y"))
+      // One fused pass over both windows (see taggedPoints/densityByTag),
+      // pivoted back to (zc, zp) with a single-reference conditional
+      // aggregate. NOT a tag-filtered self-join: filters on the groupBy key
+      // push through the aggregates into the point pipeline, splitting the
+      // shared subtree into per-tag copies and re-executing the scan + window
+      // per branch (measured: a 188-node plan slower than the unfused
+      // original). Each (tag, cell) exists at most once in `dens`, so
+      // max(when(tag=…)) selects that tag's z exactly. The isNotNull guard
+      // reproduces the old zc⋈zp INNER join: a tag produces rows (for all
+      // cells at once) iff its window has ≥1 point, so "cell missing a tag"
+      // ≡ "that window is empty" ≡ the join would have dropped every row.
+      val dens = KDE.densityByTag(taggedPoints(s, d), gridDf(s), BW)
+      dens
+        .groupBy(col("cell_x"), col("cell_y"))
+        .agg(
+          max(when(col("tag") === "c", round(col("z") * lit(1000000.0), 4))).as("zc"),
+          max(when(col("tag") === "p", round(col("z") * lit(1000000.0), 4))).as("zp"),
+        )
+        .filter(col("zc").isNotNull && col("zp").isNotNull)
         .select(
           col("cell_x"),
           col("cell_y"),

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
 import graft.core.{QuerySpec, Tables}
+import org.apache.spark.sql.graftbridge.TopKFunctions.topKIds
 import org.apache.spark.sql.graftbridge.VectorFunctions.{vecDot, vecNorm}
 
 /** Similarity search over the `embeddings` table (`vec_id, embedding float[64],
@@ -36,6 +37,34 @@ object SimilarityOps {
       .embeddings(s, d)
       .select(col("vec_id"), col("label"), col("embedding").cast(ArrayType(DoubleType)).as("v"))
       .withColumn("nrm", vecNorm(col("v")))
+
+  /** [[normed]] with a vec_id RANGE exchange on the raw scan, for the
+    * brute-force pair queries' STREAMED side. Two jobs at once (guide §2.6 +
+    * §2.5): (1) the O(n²) dot-product stage is partitioned by the cluster's
+    * shuffle parallelism instead of the input split count — the embeddings
+    * table is one tiny parquet split at bench scale, so the quadratic
+    * BroadcastNestedLoopJoin ran as a SINGLE task (PERF_r21 scaling ratio
+    * ≈1 for q42/q43); (2) range partitions are contiguous in vec_id, so
+    * everything keyed or ordered by a_id downstream (q43's per-key aggregate,
+    * both queries' global output order) is satisfied by THIS one exchange —
+    * no later orderBy, hence no range-sampling double execution of the
+    * quadratic stage. The sampling pass for this exchange re-runs only the
+    * narrow scan below it (the norm projection sits above).
+    */
+  private def normedRanged(s: SparkSession, d: String): DataFrame = {
+    // Explicit partition count (the session's shuffle parallelism — cpus in
+    // the bench contract, cluster-sized in production): without it AQE sees
+    // a ~1 MB shuffle, coalesces the range exchange to ONE partition by byte
+    // size, and the O(n²) downstream stage runs serial again — byte-based
+    // coalescing is blind to compute-heavy downstreams (guide §2.2 note on
+    // partition sizing being a memory/CPU trade, not bytes alone).
+    val n = s.conf.getOption("spark.sql.shuffle.partitions").flatMap(_.toIntOption).getOrElse(200)
+    Tables
+      .embeddings(s, d)
+      .repartitionByRange(n, col("vec_id"))
+      .select(col("vec_id"), col("label"), col("embedding").cast(ArrayType(DoubleType)).as("v"))
+      .withColumn("nrm", vecNorm(col("v")))
+  }
 
   private val normedSqlCte =
     """normed AS (
@@ -121,19 +150,22 @@ object SimilarityOps {
   val qCosinePairs: QuerySpec = QuerySpec(
     "q42_cosine_pairs",
     (s, d) => {
-      val a = normed(s, d).select(col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
+      // Streamed side range-partitioned by vec_id (see normedRanged): the
+      // broadcast side holds EVERY b row, so each a_id's full candidate set
+      // lives in a_id's partition and partitions cover contiguous a_id
+      // ranges. A per-partition sort on (a_id, b_id) therefore IS the global
+      // output order — the r21 shape's two extra exchanges (hash
+      // materialization boundary + range sort, whose sampling re-executed the
+      // post-join stage) both disappear, and the O(n²) join runs wide instead
+      // of on the scan's single input split.
+      val a = normedRanged(s, d)
+        .select(col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
       val b = normed(s, d).select(col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"))
       a.join(broadcast(b), col("a_id") < col("b_id"))
         .withColumn("sim", vecDot(col("va"), col("vb")) / (col("na") * col("nb")))
         .filter(col("sim") >= 0.4)
         .select(col("a_id"), col("b_id"))
-        // Materialization boundary before the global sort: without it the
-        // range partitioner's sampling pass re-executes its child — the ENTIRE
-        // O(n²) broadcast join — a second time (guide §2.4). The hash exchange
-        // carries only the filtered id pairs; the sort's sampling then re-reads
-        // those shuffle files instead of re-running the join.
-        .repartition(col("a_id"), col("b_id"))
-        .orderBy(col("a_id"), col("b_id"))
+        .sortWithinPartitions(col("a_id"), col("b_id"))
     },
     Some(s"""
       WITH $normedSqlCte
@@ -147,25 +179,45 @@ object SimilarityOps {
   /** Brute-force cosine top-3 neighbors per vector (the ANN correctness
     * baseline). Output is (vec_id, rank, neighbor) — ids only. rank ties are
     * impossible for continuous data; ordering ties break on neighbor id.
+    *
+    * Top-k shape (guide §3/§5, r21 verdict item 1): a size-3 bounded heap
+    * aggregate ([[org.apache.spark.sql.graftbridge.TopKIds]]) per a_id
+    * replaces sort + row_number + WindowGroupLimit. The window plan had to
+    * SORT the entire O(n²) candidate stream per partition before the group
+    * limit could cap it; the aggregate holds exactly 3 entries per key with
+    * the identical (sim DESC, b_id ASC) order — no sort of the candidate
+    * stream anywhere in the plan. The streamed side's vec_id range exchange
+    * (see normedRanged) already clusters a_id, so the aggregate adds no
+    * exchange, and a post-aggregate in-partition sort on a_id (2 000 rows at
+    * bench scale, n rows generally — never the n² stream) plus order-
+    * preserving posexplode yields the exact global (a_id, rank) output order
+    * with zero further exchanges.
     */
   val qCosineTopK: QuerySpec = QuerySpec(
     "q43_cosine_topk",
     (s, d) => {
-      val a = normed(s, d).select(col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
+      val a = normedRanged(s, d)
+        .select(col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
       val b = normed(s, d).select(col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"))
-      val sims = a
-        .join(broadcast(b), col("a_id") =!= col("b_id"))
-        .withColumn("sim", vecDot(col("va"), col("vb")) / (col("na") * col("nb")))
-      sims
-        .withColumn(
-          "rank",
-          row_number().over(
-            Window.partitionBy(col("a_id")).orderBy(col("sim").desc, col("b_id")),
-          ),
+      a.join(broadcast(b), col("a_id") =!= col("b_id"))
+        // sim is projected BELOW the aggregate on purpose (guide §2.3
+        // "project before"): the whole-stage-codegen'd join+project stage
+        // evaluates the VecDot tight loop and hands the aggregate narrow
+        // (a_id, sim, b_id) rows. Folding the division into the aggregate's
+        // input expression instead would (a) evaluate it interpreted per row
+        // (ImperativeAggregate is CodegenFallback) and (b) drag both 512-byte
+        // vectors into the aggregation buffers' input — measured 90× slower
+        // when the ObjectHashAggregate fallback then sorts those wide rows.
+        .select(
+          col("a_id"),
+          (vecDot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"),
+          col("b_id"),
         )
-        .filter(col("rank") <= 3)
-        .select(col("a_id"), col("rank"), col("b_id").as("neighbor_id"))
-        .orderBy(col("a_id"), col("rank"))
+        .groupBy(col("a_id"))
+        .agg(topKIds(col("sim"), col("b_id"), 3).as("nbrs"))
+        .sortWithinPartitions(col("a_id"))
+        .select(col("a_id"), posexplode(col("nbrs")).as(Seq("pos", "neighbor_id")))
+        .select(col("a_id"), (col("pos") + lit(1)).as("rank"), col("neighbor_id"))
     },
     Some(s"""
       WITH $normedSqlCte,
