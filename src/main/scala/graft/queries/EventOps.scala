@@ -34,18 +34,24 @@ object EventOps {
   val qRecentEvents: QuerySpec = QuerySpec(
     "q10_recent_events",
     (s, d) =>
-      // Range-exchange + in-partition sort instead of a trailing orderBy: the
-      // global sort's sampling pass would re-run the scan+filter (guide §2.4);
-      // this shape samples the same child once and gives the identical global
-      // (ts desc, event_id) order.
+      // Hash materialization boundary BELOW the global sort (guide §2.4, the
+      // q42-r21 pattern): the range partitioner's sampling pass executes the
+      // sort's entire child once before the real shuffle executes it again,
+      // and here that child is the full events scan + anchor join + filter —
+      // the r21 repartitionByRange rewrite did NOT change that (its exchange
+      // had the same child; flagged as cosmetic by the r21 audit). With the
+      // filtered rows first hash-exchanged on event_id, the sampling pass
+      // re-reads that (small, 24 h window) shuffle output instead of
+      // re-scanning the table: one scan at any scale, and the extra exchange
+      // carries only the filtered window.
       eventsWithAnchor(s, d)
         .filter(
           col("ts") >= col("anchor_ts") - expr("INTERVAL 24 HOURS") &&
             (col("event_type").isin("click", "view") || col("event_type").isNull),
         )
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-        .repartitionByRange(col("ts").desc, col("event_id"))
-        .sortWithinPartitions(col("ts").desc, col("event_id")),
+        .repartition(col("event_id"))
+        .orderBy(col("ts").desc, col("event_id")),
     Some("""
       SELECT event_id, ts, user_id, event_type, value
       FROM events

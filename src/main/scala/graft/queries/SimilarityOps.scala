@@ -106,28 +106,46 @@ object SimilarityOps {
     * one shuffle keyed by (label, dim) — 640 keys here, and still tiny at any
     * scale.
     */
+  /** q41's aggregation body over a prepared `(label, v)` frame — factored out
+    * so the data invariant below is pinned by a unit test on crafted input.
+    *
+    * INVARIANT (r21 verdict item 7 / ADVICE): the single-scan shape counts
+    * n_vecs as `max` over per-(label, pos) row counts, which equals the
+    * per-label vector count ONLY while every embedding is non-null and
+    * non-empty (every vector then contributes exactly one row to every pos).
+    * That holds by construction for this table — `embeddings.embedding` is a
+    * fixed-length float[64] written by the generator, and the DuckDB oracle's
+    * `n_vecs` CTE counts the same rows — but a null/empty vector would be
+    * dropped by `posexplode` and silently undercount n_vecs, and a ragged
+    * (shorter) vector would undercount the positions it lacks while still
+    * counting toward the ones it has. SimilarityOpsSpec asserts exactly this
+    * behavior so a schema change that breaks the invariant fails loudly
+    * instead of drifting from the oracle.
+    */
+  private[queries] def labelCentroidsFrom(normedDf: DataFrame): DataFrame = {
+    val exploded = normedDf
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+    val dimStats = exploded
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("x")).as("m"), count(lit(1)).as("cnt"))
+    dimStats
+      .groupBy(col("label"))
+      .agg(
+        round(sqrt(sum(col("m") * col("m"))), 4).as("centroid_norm"),
+        max(col("cnt")).as("n_vecs"),
+      )
+      .select(col("label"), col("n_vecs"), col("centroid_norm"))
+      .orderBy(col("label"))
+  }
+
   val qLabelCentroids: QuerySpec = QuerySpec(
     "q41_label_centroids",
-    (s, d) => {
-      // Single scan: the per-label vector count rides along the (label, pos)
-      // aggregate (every vector contributes one row to every pos, so the
-      // per-(label,pos) count IS n_vecs) — the old separate nVecs aggregate
-      // was a second full scan of the table plus a join (guide §1.2: don't
-      // compute things twice).
-      val exploded = normed(s, d)
-        .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-      val dimStats = exploded
-        .groupBy(col("label"), col("pos"))
-        .agg(avg(col("x")).as("m"), count(lit(1)).as("cnt"))
-      dimStats
-        .groupBy(col("label"))
-        .agg(
-          round(sqrt(sum(col("m") * col("m"))), 4).as("centroid_norm"),
-          max(col("cnt")).as("n_vecs"),
-        )
-        .select(col("label"), col("n_vecs"), col("centroid_norm"))
-        .orderBy(col("label"))
-    },
+    // Single scan: the per-label vector count rides along the (label, pos)
+    // aggregate — the old separate nVecs aggregate was a second full scan of
+    // the table plus a join (guide §1.2: don't compute things twice). See
+    // labelCentroidsFrom for the non-empty fixed-length vector invariant
+    // this relies on.
+    (s, d) => labelCentroidsFrom(normed(s, d)),
     Some(s"""
       WITH $normedSqlCte,
       exploded AS (

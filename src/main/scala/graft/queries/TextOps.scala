@@ -69,17 +69,23 @@ object TextOps {
       .repartitionByRange(col("doc_id"))
       .sortWithinPartitions("doc_id")
 
-  /** Per-doc DISTINCT shingle set carried as one array column. `array_distinct`
-    * dedups inside the row, so the old explode→DISTINCT shuffle disappears —
-    * at 100 TB that was a full extra exchange on (doc_id, shingle) before any
-    * dedup work even started. Docs with fewer than 3 tokens drop out — gated
-    * by a cheap regex (≥3 whitespace-separated runs ⟺ `size(toks) >= 3`), so
-    * the predicate pushed into the parquet scan is a single `rlike` instead of
-    * a re-evaluation of the whole tokenize→shingle array pipeline per row.
+  /** Per-doc DISTINCT shingle set carried as one array column, over any
+    * documents-shaped frame. `array_distinct` dedups inside the row, so the
+    * old explode→DISTINCT shuffle disappears — at 100 TB that was a full
+    * extra exchange on (doc_id, shingle) before any dedup work even started.
+    * Docs with fewer than 3 tokens drop out — gated by a cheap regex (≥3
+    * whitespace-separated runs ⟺ `size(toks) >= 3`), so the predicate pushed
+    * into the parquet scan is a single `rlike` instead of a re-evaluation of
+    * the whole tokenize→shingle array pipeline per row. (The filter also
+    * pushes below any caller-supplied exchange — q35 hands a range-exchanged
+    * frame in — so the exchange always carries only qualifying docs.)
+    *
+    * This is THE shingle pipeline: q35 (signatures), q36 (LSH bands) and q37
+    * (Jaccard) all consume it, so their shingle semantics cannot drift apart
+    * (r21 ADVICE — q35 previously inlined a copy).
     */
-  private def docShingleSets(s: SparkSession, d: String): DataFrame =
-    Tables
-      .documents(s, d)
+  private def shingleSetsOf(docs: DataFrame): DataFrame =
+    docs
       .filter(col("text").rlike("\\S+\\s+\\S+\\s+\\S+"))
       // two projections on purpose: tokens materialize below, the shingle
       // lambda above references the computed column (see shingles() docs;
@@ -87,6 +93,9 @@ object TextOps {
       // referenced more than once).
       .select(col("doc_id"), toks.as("toks"))
       .select(col("doc_id"), array_distinct(shingles(col("toks"))).as("shs"))
+
+  private def docShingleSets(s: SparkSession, d: String): DataFrame =
+    shingleSetsOf(Tables.documents(s, d))
 
   /** One MinHash slot computed inside the row: min over the shingle array of
     * md5(shingle ⊕ seed). No explode, no groupBy — the signature is per-row
@@ -290,13 +299,18 @@ object TextOps {
     // (range partitions are contiguous; projections preserve row order), one
     // signature execution.
     (s, d) => {
-      val sorted = Tables
-        .documents(s, d)
-        .filter(col("text").rlike("\\S+\\s+\\S+\\s+\\S+"))
-        .repartitionByRange(col("doc_id"))
-        .sortWithinPartitions("doc_id")
-        .select(col("doc_id"), toks.as("toks"))
-        .select(col("doc_id"), array_distinct(shingles(col("toks"))).as("shs"))
+      // Same shingle pipeline as q36/q37 (shingleSetsOf), applied to a
+      // range-exchanged frame: the rlike gate pushes below the exchange to
+      // the scan, so the physical shape is scan+filter → range exchange →
+      // in-partition sort → tokenize/shingle/signature projections — one
+      // execution of the signature, global doc_id order from the one
+      // exchange.
+      val sorted = shingleSetsOf(
+        Tables
+          .documents(s, d)
+          .repartitionByRange(col("doc_id"))
+          .sortWithinPartitions("doc_id"),
+      )
       sorted.select(
         col("doc_id") +: (0 until MinhashSlots).map(i => mhSlot(col("shs"), i).as(s"mh$i")): _*,
       )
