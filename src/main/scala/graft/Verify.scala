@@ -25,6 +25,15 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      // coalesce(1) is LOAD-BEARING for the order-sensitive oracle compare:
+      // several queries (q10, q16, q31–q35, q39, q40, q42, q43) carry their
+      // global output order as "range partitions are contiguous + rows are
+      // sorted within each partition" rather than a logical Sort, and
+      // coalesce concatenates partitions IN ORDER into the single output
+      // file. Replacing this with repartition(1) or a multi-file write would
+      // silently scramble that order and fail the hash compare.
+      // OrderContractSpec pins each rewritten query's order contract at the
+      // DataFrame level as a second guard.
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
