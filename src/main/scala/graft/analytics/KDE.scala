@@ -42,13 +42,12 @@ object KDE {
     * production) keeps the compute-heavy stage wide; the exchange itself
     * moves only the points, never the point⨯grid product.
     */
-  private def widened(points: DataFrame): DataFrame = {
-    val n = points.sparkSession.conf
-      .getOption("spark.sql.shuffle.partitions")
-      .flatMap(_.toIntOption)
-      .getOrElse(200)
-    points.repartition(n, col("x"), col("y"))
-  }
+  private def widened(points: DataFrame): DataFrame =
+    points.repartition(
+      graft.core.Tables.shufflePartitions(points.sparkSession),
+      col("x"),
+      col("y"),
+    )
 
   /** Evaluation grid (`data_utils.py:64-83`): x ascending, y DESCENDING, cell
     * ids are (col, row) indices. Linspace arithmetic (`min + i·step`) is plain

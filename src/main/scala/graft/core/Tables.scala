@@ -35,6 +35,22 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** The session's shuffle parallelism, for EXPLICIT repartition counts.
+    *
+    * A `repartition`/`repartitionByRange` without a count lets AQE coalesce
+    * the exchange by byte size — and on small inputs that is ONE partition,
+    * which serializes every projection/computation sitting above the
+    * exchange (measured in r22: q35's interpreted-HOF MinHash signature and
+    * the O(n²)/kernel stages of q42/q43/q23/q24 all collapsed to a single
+    * task this way). Pinning the session's configured parallelism is a
+    * no-op at real scale — a large shuffle would not have been coalesced
+    * below it anyway — and keeps compute-heavy stages wide at bench scale.
+    * Scale-adaptive by construction: the bench contract sets this conf to
+    * `$SPARK_GRAFT_CPUS`, production sets cluster parallelism (default 200).
+    */
+  def shufflePartitions(s: SparkSession): Int =
+    s.conf.getOption("spark.sql.shuffle.partitions").flatMap(_.toIntOption).getOrElse(200)
 }
 
 /** One externally-verifiable query: a Spark plan plus (optionally) equivalent

@@ -170,7 +170,9 @@ object EventOps {
       Tables
         .events(s, d)
         .select(col("event_id"), col("ts"), col("user_id"))
-        .repartitionByRange(col("user_id"))
+        // Explicit count so AQE cannot coalesce the range exchange to one
+        // partition and serialize the window (see Tables.shufflePartitions).
+        .repartitionByRange(Tables.shufflePartitions(s), col("user_id"))
         .sortWithinPartitions(col("user_id"), col("ts"), col("event_id"))
         .withColumn("rn", row_number().over(w))
         .select(

@@ -52,16 +52,13 @@ object SimilarityOps {
     * narrow scan below it (the norm projection sits above).
     */
   private def normedRanged(s: SparkSession, d: String): DataFrame = {
-    // Explicit partition count (the session's shuffle parallelism — cpus in
-    // the bench contract, cluster-sized in production): without it AQE sees
-    // a ~1 MB shuffle, coalesces the range exchange to ONE partition by byte
-    // size, and the O(n²) downstream stage runs serial again — byte-based
-    // coalescing is blind to compute-heavy downstreams (guide §2.2 note on
-    // partition sizing being a memory/CPU trade, not bytes alone).
-    val n = s.conf.getOption("spark.sql.shuffle.partitions").flatMap(_.toIntOption).getOrElse(200)
+    // Explicit partition count: without it AQE sees a ~1 MB shuffle,
+    // coalesces the range exchange to ONE partition by byte size, and the
+    // O(n²) downstream stage runs serial again — byte-based coalescing is
+    // blind to compute-heavy downstreams (see Tables.shufflePartitions).
     Tables
       .embeddings(s, d)
-      .repartitionByRange(n, col("vec_id"))
+      .repartitionByRange(Tables.shufflePartitions(s), col("vec_id"))
       .select(col("vec_id"), col("label"), col("embedding").cast(ArrayType(DoubleType)).as("v"))
       .withColumn("nrm", vecNorm(col("v")))
   }
@@ -85,7 +82,7 @@ object SimilarityOps {
     (s, d) =>
       Tables
         .embeddings(s, d)
-        .repartitionByRange(col("vec_id"))
+        .repartitionByRange(Tables.shufflePartitions(s), col("vec_id"))
         .sortWithinPartitions("vec_id")
         .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("v"))
         .select(

@@ -66,7 +66,11 @@ object TextOps {
   private def docsByIdSorted(s: SparkSession, d: String): DataFrame =
     Tables
       .documents(s, d)
-      .repartitionByRange(col("doc_id"))
+      // Explicit partition count: without it AQE coalesces this small range
+      // shuffle to ONE partition and every projection above it (q31/q32's
+      // regex batteries, q33's md5, q39's double tokenization) runs serial —
+      // see Tables.shufflePartitions.
+      .repartitionByRange(Tables.shufflePartitions(s), col("doc_id"))
       .sortWithinPartitions("doc_id")
 
   /** Per-doc DISTINCT shingle set carried as one array column, over any
@@ -305,10 +309,13 @@ object TextOps {
       // in-partition sort → tokenize/shingle/signature projections — one
       // execution of the signature, global doc_id order from the one
       // exchange.
+      // Explicit count for the same reason as docsByIdSorted: an AQE-coalesced
+      // single partition would run the 8×md5-per-shingle signature serially
+      // (measured ~1.2 s of q35's 1.6 s at bench scale).
       val sorted = shingleSetsOf(
         Tables
           .documents(s, d)
-          .repartitionByRange(col("doc_id"))
+          .repartitionByRange(Tables.shufflePartitions(s), col("doc_id"))
           .sortWithinPartitions("doc_id"),
       )
       sorted.select(
